@@ -1,0 +1,157 @@
+"""Flat index tests: differential oracle vs full sort for all metrics/limits
+(flat.rs:209-249), tie stability independent of candidate order
+(search.rs:263-281), batch atomicity (flat.rs:183-196), and lifecycle."""
+
+import numpy as np
+import pytest
+
+from vettore_tpu import errors
+from vettore_tpu.index.flat import FlatIndex
+from vettore_tpu.metrics import METRICS, rank_value
+from vettore_tpu.ops import distance as d
+
+F32_MAX = 3.4028234663852886e38
+
+
+def oracle(pairs, query, metric, limit):
+    hits = []
+    for id, vec in pairs:
+        raw = d.compute(metric, query, vec)
+        hits.append((rank_value(metric, raw), id, raw))
+    hits.sort(key=lambda h: (h[0], h[1]))
+    return [(id, raw) for _, id, raw in hits[:limit]]
+
+
+def make_pairs(n=37, dims=4):
+    pairs = []
+    for i in range(n):
+        vec = [
+            (i - 18.0) / 7.0,
+            ((i * 11 % 17) - 8.0) / 5.0,
+            ((i * 7 % 13) - 6.0) / 3.0,
+            0.0 if i % 3 == 0 else 1.0,
+        ][:dims]
+        pairs.append((f"id-{i:02d}", vec))
+    return pairs
+
+
+class TestSearchOracle:
+    @pytest.mark.parametrize("metric", METRICS)
+    def test_matches_full_sort(self, metric):
+        pairs = make_pairs()
+        query = [0.25, -0.75, 1.5, 0.0]
+        index = FlatIndex(metric)
+        index.put_many(pairs)
+        for limit in [1, 5, 37, 100]:
+            got = index.search(query, limit)
+            expected = oracle(pairs, query, metric, limit)
+            assert [g[0] for g in got] == [e[0] for e in expected], (metric, limit)
+            for (_, gr), (_, er) in zip(got, expected):
+                assert abs(gr - er) <= 4e-6 * max(1.0, abs(er)), (metric, limit)
+
+    def test_limit_zero(self):
+        index = FlatIndex("l2")
+        index.put("a", [1.0])
+        assert index.search([1.0], 0) == []
+
+    def test_stable_ties_independent_of_order(self):
+        forward = [("c", [1.0]), ("a", [1.0]), ("b", [1.0])]
+        expected = [("a", 0.0), ("b", 0.0)]
+        for order in (forward, list(reversed(forward))):
+            index = FlatIndex("l2")
+            index.put_many(order)
+            assert index.search([1.0], 2) == expected
+
+
+class TestLifecycle:
+    def test_insert_replace_delete_dimension_reset(self):
+        index = FlatIndex("inner_product")
+        index.put("a", [1.0, 0.0])
+        index.put("a", [0.0, 1.0])  # replace
+        assert len(index) == 1
+        assert index.search([0.0, 1.0], 1)[0] == ("a", 1.0)
+        index.delete("a")
+        assert index.dimension is None
+        assert index.search([0.0, 1.0], 1) == []
+        index.put("b", [1.0, 2.0, 3.0])  # new dimension accepted after reset
+        assert index.dimension == 3
+
+    def test_batch_validation_is_atomic(self):
+        index = FlatIndex("l2")
+        index.put("a", [1.0, 0.0])
+        with pytest.raises(errors.DimensionMismatch):
+            index.put_many([("b", [0.0, 1.0]), ("bad", [1.0])])
+        assert len(index) == 1
+
+    def test_rejects_bad_vectors(self):
+        index = FlatIndex("cosine")
+        with pytest.raises(errors.InvalidVector):
+            index.put("empty", [])
+        index.put("a", [1.0, 0.0])
+        with pytest.raises(errors.DimensionMismatch):
+            index.put("short", [1.0])
+        with pytest.raises(errors.InvalidVector):
+            index.put("nan", [float("nan"), 0.0])
+        with pytest.raises(errors.DimensionMismatch):
+            index.search([1.0], 1)
+        with pytest.raises(errors.InvalidVector):
+            index.search([float("inf"), 0.0], 1)
+
+    def test_invalid_options_and_metric(self):
+        with pytest.raises(errors.InvalidFlatOptions):
+            FlatIndex("l2", {"x": 1})
+        with pytest.raises(errors.UnsupportedFlatMetric):
+            FlatIndex("bogus")
+        assert FlatIndex("euclidean").metric == "l2"
+
+    def test_growth_beyond_initial_capacity(self):
+        index = FlatIndex("l2")
+        pairs = [(f"{i:04d}", [float(i)]) for i in range(100)]
+        index.put_many(pairs[:5])
+        index.put_many(pairs[5:])
+        hits = index.search([99.0], 3)
+        assert hits[0][0] == "0099"
+        assert len(index) == 100
+
+
+class TestSearchBatch:
+    @pytest.mark.parametrize("metric", ["cosine", "l2", "inner_product", "hamming"])
+    def test_matches_single_query_path(self, metric):
+        pairs = make_pairs()
+        index = FlatIndex(metric)
+        index.put_many(pairs)
+        queries = np.array([[0.25, -0.75, 1.5, 0.0], [1.0, 1.0, 0.0, 1.0], [0.0, 0.0, 0.0, 0.0]])
+        batched = index.search_batch(queries, 5)
+        for q, hits in zip(queries, batched):
+            single = index.search(list(q), 5)
+            assert [h[0] for h in hits] == [s[0] for s in single]
+            for (_, hr), (_, sr) in zip(hits, single):
+                assert abs(hr - sr) <= 1e-5 * max(1.0, abs(sr))
+
+    def test_empty_and_limit_zero(self):
+        index = FlatIndex("l2")
+        assert index.search_batch(np.zeros((2, 3)), 4) == [[], []]
+        index.put("a", [1.0])
+        assert index.search_batch(np.zeros((2, 1)), 0) == [[], []]
+
+    def test_batch_overflow_rows_recover(self):
+        F32_MAX = 3.4028234663852886e38
+        index = FlatIndex("inner_product")
+        index.put_many([("big", [F32_MAX, F32_MAX]), ("small", [1.0, 1.0])])
+        res = index.search_batch(np.array([[2.0, -2.0], [1.0, 0.0]]), 2)
+        assert dict(res[0])["big"] == 0.0
+        assert dict(res[1])["small"] == 1.0
+
+
+class TestOverflowRecovery:
+    def test_recoverable(self):
+        index = FlatIndex("inner_product")
+        index.put_many([("big", [F32_MAX, F32_MAX]), ("small", [1.0, 1.0])])
+        hits = index.search([2.0, -2.0], 2)
+        assert dict(hits)["big"] == 0.0
+
+    def test_genuine_overflow_errors(self):
+        index = FlatIndex("l2_squared")
+        index.put("big", [1.0e20])
+        with pytest.raises(errors.MetricOverflow):
+            index.search([0.0], 1)

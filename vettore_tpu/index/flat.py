@@ -1,0 +1,266 @@
+"""Exact flat index: HBM-resident vector shard + fused scan/top-k.
+
+TPU-native redesign of the reference's Rust flat index
+(/root/reference/native/vettore/src/flat.rs): instead of a HashMap walk with a
+bounded heap per query (flat.rs:96-124), vectors live in one device-resident
+``[cap, d]`` float32 block with a validity mask; a search is a single jitted
+XLA program — matmul-based scoring on the MXU, rank conversion, and a
+deterministic top-k with the reference's (rank, id) tie-break
+(flat.rs:34-40) via a host-maintained lexicographic slot permutation.
+
+Mutations update a host mirror (the index stays rebuildable and cheap to
+mutate); the device copy refreshes lazily on the next search.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import (
+    DimensionMismatch,
+    InvalidFlatOptions,
+    InvalidVector,
+    MetricOverflow,
+    UnsupportedFlatMetric,
+)
+from ..metrics import METRICS, normalize_metric, rank_value
+from ..ops.distance import batched_raw_scores, rank_from_raw, validate_vector
+from ..ops.topk import bucket_limit, topk_slots
+from .base import Index
+
+_MIN_CAP = 8
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "limit", "use_true_cosine"))
+def _search_kernel(x, valid, lex_order, q, *, metric, limit, use_true_cosine=False):
+    raw = batched_raw_scores(x, q, metric=metric, use_true_cosine=use_true_cosine)
+    rank = rank_from_raw(raw, metric=metric)
+    rank = jnp.where(valid, rank, jnp.inf)
+    all_finite = jnp.all(jnp.isfinite(raw) | ~valid)
+    slots, ranks = topk_slots(rank, lex_order, limit=limit)
+    return slots, raw[slots], ranks, all_finite
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "limit", "use_true_cosine"))
+def _search_kernel_batch(x, valid, lex_order, queries, *, metric, limit, use_true_cosine=False):
+    """Batched variant: ``queries`` [B, d] → per-query top-k in ONE dispatch.
+
+    Query batching is the TPU-native analog of the reference's concurrent ETS
+    readers (SURVEY §2.3): one fused [B, d] x [d, N] MXU matmul amortizes
+    dispatch and host-link round-trips across the whole batch.
+    """
+
+    def one(q):
+        return _search_kernel(
+            x, valid, lex_order, q, metric=metric, limit=limit, use_true_cosine=use_true_cosine
+        )
+
+    return jax.vmap(one)(queries)
+
+
+def _to_f64_array(vector) -> np.ndarray:
+    try:
+        arr = np.asarray(vector, dtype=np.float64)
+    except (ValueError, TypeError) as exc:
+        raise InvalidVector("vector must be numeric") from exc
+    if arr.ndim != 1:
+        raise InvalidVector("vector must be one-dimensional")
+    return arr
+
+
+def _validate_row(vector, expected_dim):
+    if len(vector) == 0:
+        raise InvalidVector("vector must not be empty")
+    if expected_dim is not None and len(vector) != expected_dim:
+        raise DimensionMismatch("dimension mismatch")
+    validate_vector(vector)
+
+
+class FlatIndex(Index):
+    """Exact scan over all stored vectors for one ranking metric."""
+
+    def __init__(self, metric: str, options=None):
+        if options not in (None, {}, []):
+            raise InvalidFlatOptions("flat index accepts no options")
+        metric = normalize_metric(metric)
+        if metric not in METRICS:
+            raise UnsupportedFlatMetric(metric)
+        self.metric = metric
+        self._dim: int | None = None
+        self._cap = 0
+        self._host_x: np.ndarray | None = None
+        self._valid: np.ndarray | None = None
+        self._ids: list = []
+        self._slot_of: dict[str, int] = {}
+        self._free: list[int] = []
+        self._device = None
+        self._dirty = True
+
+    # -- introspection ------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._slot_of)
+
+    @property
+    def dimension(self):
+        return self._dim
+
+    # -- mutation -----------------------------------------------------------
+
+    def put(self, id: str, vector) -> None:
+        self.put_many([(id, vector)])
+
+    def put_many(self, pairs: Iterable[Tuple[str, list]]) -> None:
+        """Insert-or-replace a batch. The whole batch is validated before any
+        mutation (flat.rs:69-85)."""
+        batch = [(str(id), _to_f64_array(v)) for id, v in pairs]
+        expected = self._dim
+        if expected is None and batch:
+            expected = len(batch[0][1])
+        for _, v in batch:
+            _validate_row(v, expected)
+        if not batch:
+            return
+        new_count = sum(1 for id, _ in batch if id not in self._slot_of)
+        self._reserve(len(self._slot_of) + new_count, expected)
+        for id, v in batch:
+            slot = self._slot_of.get(id)
+            if slot is None:
+                slot = self._free.pop()
+                self._slot_of[id] = slot
+                self._ids[slot] = id
+            self._host_x[slot, :] = v.astype(np.float32)
+            self._valid[slot] = True
+        if self._dim is None:
+            self._dim = expected
+        self._dirty = True
+
+    def delete(self, id: str) -> None:
+        slot = self._slot_of.pop(id, None)
+        if slot is None:
+            return
+        self._valid[slot] = False
+        self._ids[slot] = None
+        self._free.append(slot)
+        if not self._slot_of:
+            # Empty index forgets its dimension (flat.rs:88-93).
+            self._dim = None
+            self._cap = 0
+            self._host_x = None
+            self._valid = None
+            self._ids = []
+            self._free = []
+        self._dirty = True
+
+    def _reserve(self, needed: int, dim: int):
+        if self._host_x is None:
+            cap = max(_MIN_CAP, 1 << max(0, math.ceil(math.log2(max(needed, 1)))))
+            self._cap = cap
+            self._host_x = np.zeros((cap, dim), dtype=np.float32)
+            self._valid = np.zeros(cap, dtype=bool)
+            self._ids = [None] * cap
+            self._free = list(range(cap - 1, -1, -1))
+            return
+        if needed <= self._cap:
+            return
+        cap = 1 << math.ceil(math.log2(needed))
+        grown_x = np.zeros((cap, self._host_x.shape[1]), dtype=np.float32)
+        grown_x[: self._cap] = self._host_x
+        grown_valid = np.zeros(cap, dtype=bool)
+        grown_valid[: self._cap] = self._valid
+        self._ids.extend([None] * (cap - self._cap))
+        self._free.extend(range(cap - 1, self._cap - 1, -1))
+        self._host_x = grown_x
+        self._valid = grown_valid
+        self._cap = cap
+
+    # -- search -------------------------------------------------------------
+
+    def _sync_device(self):
+        if not self._dirty and self._device is not None:
+            return
+        live = np.flatnonzero(self._valid)
+        id_arr = np.array([self._ids[s] for s in live], dtype=str)
+        order = live[np.argsort(id_arr, kind="stable")] if live.size else live
+        invalid = np.flatnonzero(~self._valid)
+        lex_order = np.concatenate([order, invalid]).astype(np.int32)
+        self._device = (
+            jnp.asarray(self._host_x),
+            jnp.asarray(self._valid),
+            jnp.asarray(lex_order),
+        )
+        self._dirty = False
+
+    def search(self, query, limit: int) -> list:
+        """Returns up to ``limit`` ``(id, raw)`` hits, best-first with
+        deterministic (rank, id) tie-break."""
+        if limit == 0:
+            return []
+        q = _to_f64_array(query)
+        _validate_row(q, self._dim)
+        if not self._slot_of:
+            return []
+        self._sync_device()
+        x, valid, lex_order = self._device
+        k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
+        out = _search_kernel(
+            x, valid, lex_order, jnp.asarray(q, dtype=jnp.float32), metric=self.metric, limit=k
+        )
+        # One host round-trip for all outputs (the host link dominates latency).
+        slots, raws, _ranks, all_finite = jax.device_get(out)
+        if not bool(all_finite):
+            return self._host_search(q, limit)
+        n = min(limit, len(self._slot_of))
+        return [(self._ids[int(s)], float(r)) for s, r in zip(slots[:n], raws[:n])]
+
+    def search_batch(self, queries, limit: int) -> list:
+        """Scores a whole query batch in one device dispatch; returns one
+        ``[(id, raw)]`` hit list per query."""
+        if limit == 0:
+            return [[] for _ in range(len(queries))]
+        qs = np.asarray(queries, dtype=np.float64)
+        if qs.ndim != 2:
+            raise InvalidVector("queries must be a [batch, dims] matrix")
+        for row in qs:
+            _validate_row(row, self._dim)
+        if not self._slot_of:
+            return [[] for _ in range(qs.shape[0])]
+        self._sync_device()
+        x, valid, lex_order = self._device
+        k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
+        out = _search_kernel_batch(
+            x, valid, lex_order, jnp.asarray(qs, dtype=jnp.float32), metric=self.metric, limit=k
+        )
+        slots, raws, _ranks, all_finite = jax.device_get(out)
+        n = min(limit, len(self._slot_of))
+        results = []
+        for b in range(qs.shape[0]):
+            if not bool(all_finite[b]):
+                results.append(self._host_search(qs[b], limit))
+            else:
+                results.append(
+                    [(self._ids[int(s)], float(r)) for s, r in zip(slots[b, :n], raws[b, :n])]
+                )
+        return results
+
+    def _host_search(self, q: np.ndarray, limit: int) -> list:
+        """float64 fallback when f32 scoring overflowed — the analog of the
+        reference's per-pair f64 recovery (distances.rs:59-98). Raises
+        MetricOverflow when a value is genuinely unrepresentable."""
+        from ..ops.distance import _check_f32, _raw_f64
+
+        hits = []
+        for id, slot in self._slot_of.items():
+            row = self._host_x[slot].astype(np.float64)
+            value = _raw_f64(self.metric, q, row)
+            if self.metric not in ("hamming", "jaccard"):
+                value = _check_f32(value)
+            hits.append((rank_value(self.metric, value), id, value))
+        hits.sort(key=lambda h: (h[0], h[1]))
+        return [(id, raw) for _, id, raw in hits[:limit]]

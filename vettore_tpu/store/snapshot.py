@@ -1,0 +1,164 @@
+"""Snapshot file format: atomic, checksummed, schema-validated.
+
+Equivalent of the reference's ETS snapshot subsystem
+(/root/reference/lib/vettore/store/ets.ex:29-56,181-229): writes go to a
+same-directory temporary file followed by an atomic rename, the payload
+carries an integrity checksum that is verified on load, and every stored
+record is re-validated before an index is rebuilt from it.
+
+Layout: ``b"VETTORE-TPU-SNAP1\\n"`` magic, 16-byte MD5 of the remainder, then
+an ``.npz`` archive holding config JSON, ids, values/metadata JSON, the dense
+vector matrix, flattened multi-vectors, and packed binary vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tempfile
+
+import numpy as np
+
+from ..embedding import Embedding
+from ..errors import InvalidSnapshot
+
+MAGIC = b"VETTORE-TPU-SNAP1\n"
+
+
+def _records_payload(records: list[Embedding]):
+    n = len(records)
+    ids = np.array([r.id for r in records], dtype=object)
+    try:
+        values_json = json.dumps([r.value for r in records])
+        metadata_json = json.dumps([r.metadata for r in records])
+    except (TypeError, ValueError) as exc:
+        raise InvalidSnapshot(f"value/metadata not serializable: {exc}") from exc
+
+    dims = len(records[0].vector) if n else 0
+    vectors = np.zeros((n, dims), dtype=np.float32)
+    mv_counts = np.zeros(n, dtype=np.int64)
+    mv_chunks = []
+    binary_words = None
+    for i, r in enumerate(records):
+        vectors[i] = np.asarray(r.vector, dtype=np.float32)
+        if r.vectors is not None:
+            mv_counts[i] = len(r.vectors)
+            mv_chunks.append(np.asarray(r.vectors, dtype=np.float32).reshape(len(r.vectors), -1))
+        if r.binary_vector is not None:
+            if binary_words is None:
+                binary_words = np.zeros((n, len(r.binary_vector)), dtype=np.uint64)
+            binary_words[i] = np.array([np.uint64(w) for w in r.binary_vector], dtype=np.uint64)
+    mv_flat = (
+        np.concatenate(mv_chunks, axis=0) if mv_chunks else np.zeros((0, dims), dtype=np.float32)
+    )
+    if binary_words is None:
+        binary_words = np.zeros((n, 0), dtype=np.uint64)
+    return ids, values_json, metadata_json, vectors, mv_counts, mv_flat, binary_words
+
+
+def save_snapshot(path: str, config: dict, records: list[Embedding]) -> None:
+    ids, values_json, metadata_json, vectors, mv_counts, mv_flat, binary_words = (
+        _records_payload(records)
+    )
+    try:
+        config_json = json.dumps(config)
+    except (TypeError, ValueError) as exc:
+        raise InvalidSnapshot(f"config not serializable: {exc}") from exc
+
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        config=np.frombuffer(config_json.encode(), dtype=np.uint8),
+        ids=ids.astype(str),
+        values=np.frombuffer(values_json.encode(), dtype=np.uint8),
+        metadata=np.frombuffer(metadata_json.encode(), dtype=np.uint8),
+        vectors=vectors,
+        mv_counts=mv_counts,
+        mv_flat=mv_flat,
+        binary_words=binary_words,
+        object_count=np.int64(len(records)),
+    )
+    payload = buf.getvalue()
+    digest = hashlib.md5(payload).digest()
+
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=".vettore-snap-", dir=directory)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(MAGIC)
+            f.write(digest)
+            f.write(payload)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_snapshot(path: str):
+    """Returns ``(config_dict, records)`` after checksum + schema verification."""
+    try:
+        with open(path, "rb") as f:
+            blob = f.read()
+    except OSError as exc:
+        raise InvalidSnapshot(f"cannot read snapshot: {exc}") from exc
+
+    if not blob.startswith(MAGIC):
+        raise InvalidSnapshot("bad snapshot magic")
+    digest, payload = blob[len(MAGIC) : len(MAGIC) + 16], blob[len(MAGIC) + 16 :]
+    if hashlib.md5(payload).digest() != digest:
+        raise InvalidSnapshot("snapshot checksum mismatch")
+
+    try:
+        archive = np.load(io.BytesIO(payload), allow_pickle=False)
+        config = json.loads(bytes(archive["config"]).decode())
+        ids = [str(x) for x in archive["ids"]]
+        values = json.loads(bytes(archive["values"]).decode())
+        metadata = json.loads(bytes(archive["metadata"]).decode())
+        vectors = archive["vectors"]
+        mv_counts = archive["mv_counts"]
+        mv_flat = archive["mv_flat"]
+        binary_words = archive["binary_words"]
+        count = int(archive["object_count"])
+    except (KeyError, ValueError, json.JSONDecodeError) as exc:
+        raise InvalidSnapshot(f"corrupt snapshot payload: {exc}") from exc
+
+    n = len(ids)
+    if not (
+        count == n
+        and len(values) == n
+        and len(metadata) == n
+        and vectors.shape[0] == n
+        and mv_counts.shape[0] == n
+        and int(mv_counts.sum()) == mv_flat.shape[0]
+        and binary_words.shape[0] == n
+    ):
+        raise InvalidSnapshot("snapshot object count mismatch")
+    if not isinstance(config, dict):
+        raise InvalidSnapshot("snapshot config must be a map")
+
+    records = []
+    offset = 0
+    has_binary = binary_words.shape[1] > 0
+    for i in range(n):
+        t = int(mv_counts[i])
+        mv = None
+        if t:
+            mv = [[float(v) for v in row] for row in mv_flat[offset : offset + t]]
+            offset += t
+        records.append(
+            Embedding(
+                id=ids[i],
+                value=values[i],
+                vector=[float(v) for v in vectors[i]],
+                vectors=mv,
+                binary_vector=[int(w) for w in binary_words[i]] if has_binary else None,
+                metadata=metadata[i],
+            )
+        )
+    return config, records
