@@ -1,0 +1,961 @@
+"""Collection orchestration: validation, insert pipeline, search modes,
+snapshot/restore.
+
+This is the TPU-native equivalent of ``Vettore.Collection``
+(/root/reference/lib/vettore/collection.ex): the canonical record store lives
+on host, acceleration state (flat/HNSW index, adaptive scan caches) lives on
+device and is always rebuildable from the store. Search modes:
+
+* ``search``        — index scan (flat exact or HNSW ANN)
+* ``funnel_search`` — Matryoshka prefix staging + exact rerank, fused on device
+* ``quantized_search`` — sign-bit Hamming candidates + exact rerank, fused
+* ``multi_vector_search`` — ColBERT MaxSim late interaction
+* ``hybrid_search`` — candidate generator union + exact/MaxSim rerank
+
+Option validation is strict (unknown/duplicate options rejected,
+collection.ex:1116-1157); score/distance semantics follow
+``Distance.result_values`` exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import errors as E
+from .embedding import Embedding, Result
+from .index.base import Index, valid_index
+from .index.flat import FlatIndex
+from .metrics import (
+    F32_MAX,
+    MAX_USIZE,
+    METRICS,
+    default_normalize,
+    normalize_metric,
+    result_values,
+)
+from .ops import maxsim as maxsim_ops
+from .ops import pipeline as pipe
+from .ops import scan_host
+from .ops.distance import NORMALIZATIONS, normalize_rows, validate_vector
+from .ops.packing import (
+    pack_signs_u32,
+    pack_signs_u64_rows,
+    u64_words_to_u32,
+    words_for,
+)
+from .ops.topk import topk_desc
+from .store.base import Store, valid_store
+from .store.memory import MemoryStore
+
+SNAPSHOT_VERSION = 1
+_SCORE_MODES = ("raw", "similarity")
+_SNAPSHOT_OVERRIDE_KEYS = ("name", "index", "index_options", "score", "store")
+
+
+def _validate_limit(limit):
+    if not isinstance(limit, int) or isinstance(limit, bool) or not 0 < limit <= MAX_USIZE:
+        raise E.InvalidLimit(f"invalid limit: {limit!r}")
+
+
+def _validate_candidates(candidates, limit):
+    if (
+        not isinstance(candidates, int)
+        or isinstance(candidates, bool)
+        or candidates < limit
+        or candidates <= 0
+        or candidates > MAX_USIZE
+    ):
+        raise E.InvalidCandidates(f"invalid candidates: {candidates!r}")
+
+
+def _reject_extra(extra: dict):
+    if extra:
+        raise E.UnsupportedOption(next(iter(extra)))
+
+
+def _pow2_at_least(n: int, floor: int = 8) -> int:
+    return max(floor, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
+
+
+class _VectorCache:
+    """Device-resident mirror of all stored primary vectors for adaptive
+    scans (funnel/quantized/hybrid/exact-rerank). Rebuilt from the canonical
+    store whenever the collection mutates — the same canonical-vs-acceleration
+    split the reference keeps between ETS and native resources."""
+
+    def __init__(self, records, dimensions):
+        self.records = records
+        self.n = len(records)
+        ids = []
+        seen = set()
+        for r in records:
+            if not isinstance(r, Embedding) or not isinstance(r.id, str) or r.id == "":
+                raise E.InvalidEmbedding("invalid embedding in store")
+            if r.id in seen:
+                raise E.DuplicateId(f"duplicate id: {r.id!r}")
+            seen.add(r.id)
+            ids.append(r.id)
+        self.ids = ids
+        self.slot_of = {id: i for i, id in enumerate(ids)}
+        self.by_id = {id: r for id, r in zip(ids, records)}
+        self.cap = _pow2_at_least(self.n)
+        self.dimensions = dimensions
+        self._x = None
+        self._bits = None
+        self._mv = None
+
+    def vectors(self):
+        if self._x is not None:
+            return self._x
+        mat = np.zeros((self.cap, self.dimensions), dtype=np.float32)
+        for i, r in enumerate(self.records):
+            v = r.vector
+            if v is None:
+                raise E.InvalidVector("embedding has no vector")
+            if len(v) != self.dimensions:
+                raise E.DimensionMismatch("dimension mismatch")
+            row = np.asarray(v, dtype=np.float32)
+            if not np.isfinite(row).all():
+                raise E.InvalidVector("vector contains a non-finite value")
+            mat[i] = row
+        valid = np.zeros(self.cap, dtype=bool)
+        valid[: self.n] = True
+        order = np.argsort(np.array(self.ids, dtype=str), kind="stable").astype(np.int32)
+        lex_order = np.concatenate([order, np.arange(self.n, self.cap, dtype=np.int32)])
+        lex_rank = np.zeros(self.cap, dtype=np.int32)
+        lex_rank[lex_order] = np.arange(self.cap, dtype=np.int32)
+        self._x = (
+            jnp.asarray(mat),
+            jnp.asarray(valid),
+            jnp.asarray(lex_order),
+            jnp.asarray(lex_rank),
+        )
+        return self._x
+
+    def bits(self):
+        """Packed sign bits per record: stored ``binary_vector`` words when
+        present (validated), else packed from the primary vector
+        (collection.ex:730-740)."""
+        if self._bits is not None:
+            return self._bits
+        width = 2 * words_for(self.dimensions)
+        out = np.zeros((self.cap, width), dtype=np.uint32)
+        expected_words = words_for(self.dimensions)
+        for i, r in enumerate(self.records):
+            bv = r.binary_vector
+            if bv is not None:
+                bv_list = [int(w) for w in bv]
+                if len(bv_list) != expected_words or any(
+                    w < 0 or w > 2**64 - 1 for w in bv_list
+                ):
+                    raise E.InvalidBinaryVector("invalid binary vector")
+                out[i] = u64_words_to_u32(bv_list, self.dimensions)
+            else:
+                v = r.vector
+                if v is None or len(v) != self.dimensions:
+                    raise E.DimensionMismatch("dimension mismatch")
+                row = np.asarray(v, dtype=np.float64)
+                if not np.isfinite(row).all():
+                    raise E.InvalidVector("vector contains a non-finite value")
+                out[i] = pack_signs_u32(row[None, :])[0]
+        self._bits = jnp.asarray(out)
+        return self._bits
+
+    def multi_vectors(self):
+        """Padded ``[cap, T, d]`` doc-token block: ``vectors`` when non-empty,
+        else the primary vector (collection.ex:773-777)."""
+        if self._mv is not None:
+            return self._mv
+        docs = []
+        for r in self.records:
+            vs = r.vectors if r.vectors else ([r.vector] if r.vector is not None else [])
+            rows = []
+            for v in vs:
+                if len(v) != self.dimensions:
+                    raise E.DimensionMismatch("dimension mismatch")
+                row = np.asarray(v, dtype=np.float32)
+                if not np.isfinite(row).all():
+                    raise E.InvalidMultiVector("invalid multi vector")
+                rows.append(row)
+            docs.append(rows)
+        t_max = _pow2_at_least(max((len(d) for d in docs), default=1), 1)
+        tokens = np.zeros((self.cap, t_max, self.dimensions), dtype=np.float32)
+        counts = np.zeros(self.cap, dtype=np.int32)
+        for i, rows in enumerate(docs):
+            counts[i] = len(rows)
+            for t, row in enumerate(rows):
+                tokens[i, t] = row
+        self._mv = (jnp.asarray(tokens), jnp.asarray(counts))
+        return self._mv
+
+
+def _mv_pipeline(tokens, counts, valid, lex_order, queries, *, metric, limit):
+    totals, pair_finite = maxsim_ops.batched_maxsim_scores(tokens, counts, queries, metric=metric)
+    scores = jnp.where(valid, totals, -jnp.inf)
+    ok = jnp.all((jnp.isfinite(totals) & pair_finite) | ~valid)
+    slots, top_scores = topk_desc(scores, lex_order, limit=limit)
+    return slots, top_scores, ok
+
+
+_mv_pipeline = jax.jit(_mv_pipeline, static_argnames=("metric", "limit"))
+
+
+def _mv_subset_pipeline(tokens, counts, slots, slot_ok, queries, *, metric, limit):
+    sub_tokens = tokens[slots]
+    sub_counts = jnp.where(slot_ok, counts[slots], 0)
+    totals, pair_finite = maxsim_ops.batched_maxsim_scores(
+        sub_tokens, sub_counts, queries, metric=metric
+    )
+    scores = jnp.where(slot_ok, totals, -jnp.inf)
+    ok = jnp.all((jnp.isfinite(totals) & pair_finite) | ~slot_ok)
+    k = min(limit, slots.shape[0])
+    top_scores, pos = jax.lax.top_k(scores, k)
+    return slots[pos], top_scores, ok
+
+
+_mv_subset_pipeline = jax.jit(_mv_subset_pipeline, static_argnames=("metric", "limit"))
+
+
+class Collection:
+    """One vector collection: canonical host store + device acceleration."""
+
+    def __init__(
+        self,
+        *,
+        name=None,
+        dimensions=None,
+        metric="cosine",
+        normalize=None,
+        store="memory",
+        index="flat",
+        index_options=None,
+        score="raw",
+        compressed=False,
+        **extra,
+    ):
+        _reject_extra(extra)
+        metric = normalize_metric(metric)
+        if normalize is None:
+            normalize = default_normalize(metric)
+        if not isinstance(dimensions, int) or isinstance(dimensions, bool) or dimensions <= 0:
+            raise E.InvalidDimensions(f"invalid dimensions: {dimensions!r}")
+        if metric not in METRICS:
+            raise E.InvalidMetric(f"invalid metric: {metric!r}")
+        if normalize not in NORMALIZATIONS:
+            raise E.InvalidNormalization(f"invalid normalization: {normalize!r}")
+        if score not in _SCORE_MODES:
+            raise E.InvalidScoreMode(f"invalid score mode: {score!r}")
+        if not isinstance(compressed, bool):
+            raise E.VettoreError("compressed must be a boolean", reason="invalid_compressed")
+        if index_options is not None and not isinstance(index_options, dict):
+            raise E.InvalidIndexOptions("index_options must be a dict")
+
+        self.name = name
+        self.dimensions = dimensions
+        self.metric = metric
+        self.normalize = normalize
+        self.score = score
+        self.index_kind = index if isinstance(index, str) else "custom"
+        self.index_options = dict(index_options or {})
+        self.compressed = compressed
+
+        self._index = self._make_index(index, metric, self.index_options)
+        self._store = self._make_store(store, self._config())
+        self._write_lock = threading.RLock()
+        self._version = 0
+        self._cache: _VectorCache | None = None
+        self._cache_version = -1
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _make_index(index, metric, index_options):
+        if index == "flat":
+            return FlatIndex(metric, index_options or None)
+        if index == "hnsw":
+            from .index.hnsw import HnswIndex
+
+            return HnswIndex(metric, index_options)
+        if isinstance(index, type):
+            instance = index(metric, index_options)
+        else:
+            instance = index
+        if not valid_index(instance):
+            raise E.InvalidIndex(f"invalid index: {index!r}")
+        return instance
+
+    @staticmethod
+    def _make_store(store, config):
+        if store == "memory":
+            return MemoryStore(config)
+        if isinstance(store, type):
+            instance = store(config)
+        else:
+            instance = store
+        if not valid_store(instance):
+            raise E.InvalidStore(f"invalid store: {store!r}")
+        return instance
+
+    def _config(self) -> dict:
+        return {
+            "snapshot_version": SNAPSHOT_VERSION,
+            "name": self.name,
+            "dimensions": self.dimensions,
+            "metric": self.metric,
+            "normalize": self.normalize,
+            "score": self.score,
+            "index": self.index_kind,
+            "index_options": self.index_options,
+            "compressed": self.compressed,
+        }
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def ensure_open(self):
+        alive = getattr(self._store, "alive", None)
+        if callable(alive) and not alive():
+            raise E.Closed("collection is closed")
+
+    def close(self):
+        close = getattr(self._store, "close", None)
+        if callable(close):
+            close()
+
+    @property
+    def store(self) -> Store:
+        return self._store
+
+    @property
+    def index(self) -> Index:
+        return self._index
+
+    def _bump(self):
+        self._version += 1
+
+    def refresh(self):
+        """Drops device scan caches (call after mutating a custom store
+        directly, outside the collection API)."""
+        self._bump()
+
+    # ------------------------------------------------------------------
+    # insert pipeline (collection.ex:920-1017)
+    # ------------------------------------------------------------------
+
+    def _prepare_one(self, item) -> Embedding:
+        emb = Embedding.from_input(item)
+        id = emb.id
+        if not (isinstance(id, str) and id):
+            if isinstance(emb.value, str) and emb.value:
+                id = emb.value
+            else:
+                raise E.MissingId("embedding needs an id or a non-empty string value")
+
+        vectors = None
+        if emb.vectors is not None:
+            if not isinstance(emb.vectors, (list, tuple)) or not emb.vectors:
+                raise E.InvalidMultiVector("invalid multi vector")
+            prepared = []
+            for v in emb.vectors:
+                self._validate_dims(v)
+                prepared.append(normalize_rows(np.asarray(v, np.float64)[None, :], self.normalize)[0])
+            vectors = prepared
+
+        if emb.vector is not None:
+            self._validate_dims(emb.vector)
+            vector = normalize_rows(np.asarray(emb.vector, np.float64)[None, :], self.normalize)[0]
+        elif vectors is not None:
+            mean = np.mean(np.stack([v.astype(np.float64) for v in vectors]), axis=0)
+            vector = normalize_rows(mean[None, :], self.normalize)[0]
+        else:
+            raise E.InvalidVector("embedding has no vector")
+
+        binary = pack_signs_u64_rows(vector[None, :])[0]
+        return Embedding(
+            id=id,
+            value=emb.value if emb.value is not None else id,
+            vector=vector,
+            vectors=vectors,
+            binary_vector=[int(w) for w in binary],
+            metadata=emb.metadata,
+        )
+
+    def _validate_dims(self, vector):
+        if not isinstance(vector, (list, tuple, np.ndarray)):
+            raise E.InvalidVector("vector must be a list")
+        if len(vector) != self.dimensions:
+            raise E.DimensionMismatch("dimension mismatch")
+        validate_vector(list(vector) if not isinstance(vector, np.ndarray) else vector)
+
+    def put(self, item) -> None:
+        self.put_many([item])
+
+    def put_many(self, items: Iterable) -> None:
+        items = list(items)
+        if not all(isinstance(i, (dict, Embedding)) for i in items):
+            raise E.InvalidEmbedding("invalid embeddings")
+        prepared = [self._prepare_one(i) for i in items]
+        with self._write_lock:
+            self.ensure_open()
+            self._store.put_many(prepared)
+            try:
+                self._index.put_many([(e.id, e.vector) for e in prepared])
+            except Exception:
+                for e in prepared:
+                    self._index.delete(e.id)
+                    self._store.delete(e.id)
+                raise
+            finally:
+                self._bump()
+
+    def get(self, id: str) -> Embedding:
+        if not isinstance(id, str):
+            raise E.VettoreError("invalid id", reason="invalid_id")
+        return self._store.get(id)
+
+    def delete(self, id: str) -> None:
+        if not isinstance(id, str):
+            raise E.VettoreError("invalid id", reason="invalid_id")
+        with self._write_lock:
+            self.ensure_open()
+            try:
+                embedding = self._store.get(id)
+            except E.NotFound:
+                self._index.delete(id)
+                self._bump()
+                return
+            self._index.delete(id)
+            try:
+                self._store.delete(id)
+            except Exception as store_error:
+                try:
+                    self._index.put(id, embedding.vector)
+                except Exception as index_error:
+                    raise E.IndexRestoreFailed(store_error, index_error) from store_error
+                raise
+            finally:
+                self._bump()
+
+    def all(self) -> list:
+        self.ensure_open()
+        return self._store.all()
+
+    def count(self) -> int:
+        self.ensure_open()
+        count = getattr(self._store, "count", None)
+        return count() if callable(count) else len(self._store.all())
+
+    # ------------------------------------------------------------------
+    # query preparation
+    # ------------------------------------------------------------------
+
+    def prepare_query(self, query) -> np.ndarray:
+        self.ensure_open()
+        self._validate_dims(query)
+        return normalize_rows(np.asarray(query, np.float64)[None, :], self.normalize)[0]
+
+    def _prepare_query_vectors(self, query_vectors) -> np.ndarray:
+        if not isinstance(query_vectors, (list, tuple)) or not query_vectors:
+            raise E.InvalidMultiVector("invalid multi vector")
+        rows = []
+        for v in query_vectors:
+            self._validate_dims(v)
+            rows.append(normalize_rows(np.asarray(v, np.float64)[None, :], self.normalize)[0])
+        return np.stack(rows)
+
+    def _scan_cache(self) -> _VectorCache:
+        if self._cache is None or self._cache_version != self._version:
+            self._cache = _VectorCache(self._store.all(), self.dimensions)
+            self._cache_version = self._version
+        return self._cache
+
+    # ------------------------------------------------------------------
+    # result hydration
+    # ------------------------------------------------------------------
+
+    def _to_result(self, embedding: Embedding, raw: float) -> Result:
+        score, distance = result_values(self.metric, raw, self.score)
+        return Result(
+            id=embedding.id,
+            value=embedding.value,
+            score=score,
+            distance=distance,
+            metric=self.metric,
+            metadata=embedding.metadata,
+        )
+
+    def _hydrate_hits(self, hits) -> list:
+        results = []
+        for id, raw in hits:
+            try:
+                embedding = self._store.get(id)
+            except E.NotFound:
+                continue
+            results.append(self._to_result(embedding, raw))
+        return results
+
+    # ------------------------------------------------------------------
+    # search modes
+    # ------------------------------------------------------------------
+
+    def search(self, query, *, limit=10, **extra) -> list:
+        """Index search (exact flat scan or HNSW ANN)."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        q = self.prepare_query(query)
+        hits = self._index.search(q, limit)
+        return self._hydrate_hits(hits)
+
+    def search_batch(self, queries, *, limit=10, **extra) -> list:
+        """Batched index search: one device dispatch for a query batch."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        self.ensure_open()
+        prepared = np.stack([self.prepare_query(q) for q in queries]) if len(queries) else (
+            np.zeros((0, self.dimensions), np.float32)
+        )
+        batch = getattr(self._index, "search_batch", None)
+        if callable(batch):
+            all_hits = batch(prepared, limit)
+        else:
+            all_hits = [self._index.search(q, limit) for q in prepared]
+        return [self._hydrate_hits(hits) for hits in all_hits]
+
+    def funnel_search(self, query, *, limit=10, candidates=None, stages=None, dimensions=None,
+                      **extra) -> list:
+        """Matryoshka funnel: prefix-staged candidate narrowing + exact rerank
+        (collection.ex:244-260,660-691)."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        if candidates is None:
+            candidates = max(limit * 10, limit)
+        _validate_candidates(candidates, limit)
+        stages = self._funnel_stages(stages, dimensions)
+        q = self.prepare_query(query)
+        cache = self._scan_cache()
+        if cache.n == 0:
+            return []
+        x, valid, lex_order, lex_rank = cache.vectors()
+        count = min(candidates, cache.n)
+        k = min(limit, count)
+        top, raws, ranks, finite = pipe.funnel_pipeline(
+            x, valid, lex_order, lex_rank, jnp.asarray(q),
+            metric=self.metric, stages=tuple(stages), count=count, limit=k,
+        )
+        top, raws, ranks, finite = jax.device_get((top, raws, ranks, finite))
+        if not bool(finite):
+            return self._funnel_host(cache, q, stages, candidates, limit)
+        return self._slots_to_results(cache, top, raws, ranks)
+
+    def _funnel_stages(self, stages, dimensions):
+        if stages is None:
+            stages = [dimensions] if dimensions is not None else [min(self.dimensions, 128)]
+        if not isinstance(stages, (list, tuple)) or not stages or not all(
+            isinstance(s, int) and not isinstance(s, bool) and 0 < s <= self.dimensions
+            for s in stages
+        ):
+            raise E.InvalidStages(f"invalid stages: {stages!r}")
+        return list(stages)
+
+    def _funnel_host(self, cache, q, stages, candidates, limit):
+        pairs = [(r.id, np.asarray(r.vector)) for r in cache.records]
+        for dims in stages:
+            hits = scan_host.vector_top_k(pairs, q, self.metric, dims, candidates)
+            keep = {id for id, _ in hits}
+            by_id = {id: v for id, v in pairs}
+            pairs = [(id, by_id[id]) for id, _ in hits if id in keep]
+        hits = scan_host.vector_top_k(pairs, q, self.metric, self.dimensions, limit)
+        return [self._to_result(cache.by_id[id], raw) for id, raw in hits]
+
+    def quantized_search(self, query, *, limit=10, candidates=None, **extra) -> list:
+        """Sign-bit Hamming candidates + exact rerank (collection.ex:274-295)."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        if candidates is None:
+            candidates = max(limit * 10, limit)
+        _validate_candidates(candidates, limit)
+        q = self.prepare_query(query)
+        cache = self._scan_cache()
+        if cache.n == 0:
+            return []
+        x, valid, lex_order, _lex_rank = cache.vectors()
+        bits = cache.bits()
+        qbits = u64_words_to_u32(
+            pack_signs_u64_rows(q[None, :])[0].tolist(), self.dimensions
+        )
+        count = min(candidates, cache.n)
+        k = min(limit, count)
+        top, raws, ranks, finite = pipe.quantized_pipeline(
+            x, bits, valid, lex_order, jnp.asarray(q), jnp.asarray(qbits),
+            metric=self.metric, count=count, limit=k,
+        )
+        top, raws, ranks, finite = jax.device_get((top, raws, ranks, finite))
+        if not bool(finite):
+            return self._quantized_host(cache, q, candidates, limit)
+        return self._slots_to_results(cache, top, raws, ranks)
+
+    def _quantized_host(self, cache, q, candidates, limit):
+        qwords = [int(w) for w in pack_signs_u64_rows(q[None, :])[0]]
+        pairs = []
+        for r in cache.records:
+            words = [int(w) for w in r.binary_vector] if r.binary_vector is not None else [
+                int(w) for w in pack_signs_u64_rows(np.asarray(r.vector, np.float64)[None, :])[0]
+            ]
+            pairs.append((r.id, words))
+        hits = scan_host.binary_top_k(pairs, qwords, self.dimensions, candidates)
+        survivors = [(id, np.asarray(cache.by_id[id].vector)) for id, _ in hits]
+        final = scan_host.vector_top_k(survivors, q, self.metric, self.dimensions, limit)
+        return [self._to_result(cache.by_id[id], raw) for id, raw in final]
+
+    def multi_vector_search(self, query_vectors, *, limit=10, metric=None, **extra) -> list:
+        """ColBERT MaxSim late interaction over multi-vector records
+        (collection.ex:311-323,742-760)."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        metric = normalize_metric(metric) if metric is not None else self.metric
+        if metric not in METRICS:
+            raise E.InvalidMetric(f"invalid metric: {metric!r}")
+        self.ensure_open()
+        queries = self._prepare_query_vectors(query_vectors)
+        cache = self._scan_cache()
+        if cache.n == 0:
+            return []
+        tokens, counts = cache.multi_vectors()
+        _x, valid, lex_order, _lex_rank = cache.vectors()
+        k = min(limit, cache.n)
+        slots, scores, ok = _mv_pipeline(
+            tokens, counts, valid, lex_order, jnp.asarray(queries), metric=metric, limit=k
+        )
+        slots, scores, ok = jax.device_get((slots, scores, ok))
+        if not bool(ok):
+            return self._multi_vector_host(cache, query_vectors, queries, metric, limit)
+        results = []
+        for slot, score in zip(slots, scores):
+            if not np.isfinite(score):
+                continue
+            r = cache.records[int(slot)]
+            results.append(
+                Result(id=r.id, value=r.value, score=float(score), distance=None,
+                       metric=metric, metadata=r.metadata)
+            )
+        return results
+
+    def _multi_vector_host(self, cache, _raw_queries, queries, metric, limit):
+        documents = []
+        for r in cache.records:
+            vs = r.vectors if r.vectors else [r.vector]
+            documents.append((r.id, [list(np.asarray(v, np.float64)) for v in vs]))
+        hits = maxsim_ops.top_k(documents, [list(q) for q in queries], metric, limit)
+        return [
+            Result(id=id, value=cache.by_id[id].value, score=score, distance=None,
+                   metric=metric, metadata=cache.by_id[id].metadata)
+            for id, score in hits
+        ]
+
+    def hybrid_search(self, query, *, limit=10, generators=None, rerank="exact",
+                      **extra) -> list:
+        """Candidate-generator union + rerank (collection.ex:337-348,516-658)."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        if generators is None:
+            generators = (
+                ["hnsw", "quantized"] if self.index_kind == "hnsw" else ["funnel", "quantized"]
+            )
+        if not isinstance(generators, (list, tuple)) or not generators:
+            raise E.InvalidGenerator(generators)
+        q = self.prepare_query(query)
+        cache = self._scan_cache()
+
+        candidate_ids: list = []
+        seen = set()
+        for gen in generators:
+            for id in self._run_generator(cache, q, gen, limit):
+                if id not in seen:
+                    seen.add(id)
+                    candidate_ids.append(id)
+        return self._hybrid_rerank(cache, q, candidate_ids, rerank, limit)
+
+    def _run_generator(self, cache, q, gen, limit) -> list:
+        if isinstance(gen, str):
+            name, opts = gen, {}
+        elif isinstance(gen, tuple) and len(gen) == 2 and isinstance(gen[0], str):
+            name, opts = gen[0], dict(gen[1])
+        else:
+            raise E.InvalidGenerator(gen)
+        allowed = {
+            "funnel": {"candidates", "stages", "dimensions"},
+            "quantized": {"candidates"},
+            "search": {"candidates"},
+            "hnsw": {"candidates"},
+        }.get(name)
+        if allowed is None:
+            raise E.UnknownGenerator(name)
+        for key in opts:
+            if key not in allowed:
+                raise E.UnsupportedOption(key)
+        candidates = opts.get("candidates", max(limit * 10, limit))
+        if (
+            not isinstance(candidates, int)
+            or isinstance(candidates, bool)
+            or candidates <= 0
+            or candidates > MAX_USIZE
+        ):
+            raise E.InvalidCandidates(f"invalid candidates: {candidates!r}")
+
+        if name == "funnel":
+            stages = self._funnel_stages(opts.get("stages"), opts.get("dimensions"))
+            if cache.n == 0:
+                return []
+            x, valid, lex_order, lex_rank = cache.vectors()
+            count = min(candidates, cache.n)
+            slots, ok, finite = pipe.funnel_candidates_pipeline(
+                x, valid, lex_order, lex_rank, jnp.asarray(q),
+                metric=self.metric, stages=tuple(stages), count=count,
+            )
+            slots, ok, finite = jax.device_get((slots, ok, finite))
+            if not bool(finite):
+                pairs = [(r.id, np.asarray(r.vector)) for r in cache.records]
+                for dims in stages:
+                    hits = scan_host.vector_top_k(pairs, q, self.metric, dims, candidates)
+                    by_id = {id: v for id, v in pairs}
+                    pairs = [(id, by_id[id]) for id, _ in hits]
+                return [id for id, _ in pairs] if stages else []
+            return [cache.ids[int(s)] for s, o in zip(slots, ok) if o]
+        if name == "quantized":
+            if cache.n == 0:
+                return []
+            bits = cache.bits()
+            _x, valid, lex_order, _lex_rank = cache.vectors()
+            qbits = u64_words_to_u32(
+                pack_signs_u64_rows(q[None, :])[0].tolist(), self.dimensions
+            )
+            count = min(candidates, cache.n)
+            slots, ok = jax.device_get(
+                pipe.quantized_candidates_pipeline(
+                    bits, valid, lex_order, jnp.asarray(qbits), count=count
+                )
+            )
+            return [cache.ids[int(s)] for s, o in zip(slots, ok) if o]
+        if name == "hnsw" and self.index_kind != "hnsw":
+            raise E.HnswIndexRequired("hnsw generator requires an hnsw index")
+        # "search" / "hnsw": go through the collection index
+        hits = self._index.search(q, candidates)
+        return [id for id, _ in hits if id in cache.slot_of]
+
+    def _hybrid_rerank(self, cache, q, candidate_ids, rerank, limit):
+        if rerank == "exact":
+            if not candidate_ids:
+                return []
+            slots = np.array(sorted(cache.slot_of[id] for id in candidate_ids), dtype=np.int32)
+            # candidate arrays must be lex-sorted for the stable-topk tie-break
+            lex = np.argsort(np.array([cache.ids[s] for s in slots], dtype=str), kind="stable")
+            slots = slots[lex]
+            bucket = _pow2_at_least(len(slots), 1)
+            ok = np.zeros(bucket, dtype=bool)
+            ok[: len(slots)] = True
+            padded = np.zeros(bucket, dtype=np.int32)
+            padded[: len(slots)] = slots
+            x, _valid, _lex_order, _lex_rank = cache.vectors()
+            k = min(limit, len(slots))
+            top, raws, ranks, finite = jax.device_get(
+                pipe.rerank_pipeline(
+                    x, jnp.asarray(padded), jnp.asarray(ok), jnp.asarray(q),
+                    metric=self.metric, limit=k,
+                )
+            )
+            if not bool(finite):
+                pairs = [(id, np.asarray(cache.by_id[id].vector)) for id in candidate_ids]
+                hits = scan_host.vector_top_k(pairs, q, self.metric, self.dimensions, limit)
+                return [self._to_result(cache.by_id[id], raw) for id, raw in hits]
+            return self._slots_to_results(cache, top, raws, ranks)
+
+        if (
+            isinstance(rerank, tuple)
+            and len(rerank) in (2, 3)
+            and rerank[0] == "multi_vector"
+        ):
+            query_vectors = rerank[1]
+            opts = dict(rerank[2]) if len(rerank) == 3 else {}
+            for key in opts:
+                if key != "metric":
+                    raise E.UnsupportedOption(key)
+            metric = normalize_metric(opts.get("metric", self.metric))
+            if metric not in METRICS:
+                raise E.InvalidMetric(f"invalid metric: {metric!r}")
+            queries = self._prepare_query_vectors(query_vectors)
+            if not candidate_ids:
+                return []
+            tokens, counts = cache.multi_vectors()
+            slots = np.array(sorted(cache.slot_of[id] for id in candidate_ids), dtype=np.int32)
+            lex = np.argsort(np.array([cache.ids[s] for s in slots], dtype=str), kind="stable")
+            slots = slots[lex]
+            bucket = _pow2_at_least(len(slots), 1)
+            ok = np.zeros(bucket, dtype=bool)
+            ok[: len(slots)] = True
+            padded = np.zeros(bucket, dtype=np.int32)
+            padded[: len(slots)] = slots
+            k = min(limit, len(slots))
+            top, scores, dev_ok = jax.device_get(
+                _mv_subset_pipeline(
+                    tokens, counts, jnp.asarray(padded), jnp.asarray(ok),
+                    jnp.asarray(queries), metric=metric, limit=k,
+                )
+            )
+            if not bool(dev_ok):
+                documents = []
+                for id in candidate_ids:
+                    r = cache.by_id[id]
+                    vs = r.vectors if r.vectors else [r.vector]
+                    documents.append((id, [list(np.asarray(v, np.float64)) for v in vs]))
+                hits = maxsim_ops.top_k(documents, [list(qv) for qv in queries], metric, limit)
+                return [
+                    Result(id=id, value=cache.by_id[id].value, score=score, distance=None,
+                           metric=metric, metadata=cache.by_id[id].metadata)
+                    for id, score in hits
+                ]
+            results = []
+            for slot, score in zip(top, scores):
+                if not np.isfinite(score):
+                    continue
+                r = cache.records[int(slot)]
+                results.append(
+                    Result(id=r.id, value=r.value, score=float(score), distance=None,
+                           metric=metric, metadata=r.metadata)
+                )
+            return results
+
+        raise E.InvalidRerank(rerank)
+
+    def _slots_to_results(self, cache, slots, raws, ranks) -> list:
+        results = []
+        for slot, raw, rank in zip(slots, raws, ranks):
+            if not np.isfinite(rank):
+                continue
+            results.append(self._to_result(cache.records[int(slot)], float(raw)))
+        return results
+
+    # ------------------------------------------------------------------
+    # snapshot / restore (collection.ex:135-164,376-433)
+    # ------------------------------------------------------------------
+
+    def snapshot(self, path: str) -> None:
+        if not isinstance(path, str):
+            raise E.InvalidSnapshot("invalid snapshot path")
+        self.ensure_open()
+        configure = getattr(self._store, "configure", None)
+        if callable(configure):
+            configure(self._config())
+        self._store.snapshot(path)
+
+
+def load_snapshot(path: str, *, name=None, index=None, index_options=None, score=None,
+                  store=None, **extra):
+    """Loads a collection from a snapshot; the index is rebuilt from canonical
+    records, never deserialized. Overrides are restricted to non-structural
+    fields (collection.ex:54,1159-1174) and persist through later snapshots."""
+    for key in extra:
+        raise E.UnsupportedSnapshotOverride(key)
+    if not isinstance(path, str):
+        raise E.InvalidSnapshot("invalid snapshot path")
+    store_cls = MemoryStore if store is None else store
+    if not (isinstance(store_cls, type) and callable(getattr(store_cls, "load_snapshot", None))):
+        raise E.InvalidStore(f"invalid store: {store!r}")
+    loaded_store, config = store_cls.load_snapshot(path)
+    try:
+        return _restore(loaded_store, config, name=name, index=index,
+                        index_options=index_options, score=score)
+    except Exception:
+        close = getattr(loaded_store, "close", None)
+        if callable(close):
+            close()
+        raise
+
+
+def _restore(loaded_store, config, *, name, index, index_options, score):
+    if not isinstance(config, dict):
+        raise E.InvalidSnapshot("snapshot config must be a map")
+    if config.get("snapshot_version", 0) not in (0, SNAPSHOT_VERSION):
+        raise E.UnsupportedSnapshotVersion("unsupported snapshot version")
+
+    collection = Collection.__new__(Collection)
+    metric = normalize_metric(config.get("metric", "cosine"))
+    dimensions = config.get("dimensions")
+    normalize = config.get("normalize", default_normalize(metric))
+    index_kind = index if index is not None else config.get("index", "flat")
+    opts = index_options if index_options is not None else config.get("index_options", {}) or {}
+    score_mode = score if score is not None else config.get("score", "raw")
+    compressed = config.get("compressed", False)
+
+    if not isinstance(dimensions, int) or isinstance(dimensions, bool) or dimensions <= 0:
+        raise E.InvalidDimensions(f"invalid dimensions: {dimensions!r}")
+    if metric not in METRICS:
+        raise E.InvalidMetric(f"invalid metric: {metric!r}")
+    if normalize not in NORMALIZATIONS:
+        raise E.InvalidNormalization(f"invalid normalization: {normalize!r}")
+    if score_mode not in _SCORE_MODES:
+        raise E.InvalidScoreMode(f"invalid score mode: {score_mode!r}")
+    if not isinstance(compressed, bool):
+        raise E.VettoreError("compressed must be a boolean", reason="invalid_compressed")
+    if not isinstance(opts, dict):
+        raise E.InvalidIndexOptions("index_options must be a dict")
+
+    collection.name = name if name is not None else config.get("name")
+    collection.dimensions = dimensions
+    collection.metric = metric
+    collection.normalize = normalize
+    collection.score = score_mode
+    collection.index_kind = index_kind if isinstance(index_kind, str) else "custom"
+    collection.index_options = dict(opts)
+    collection.compressed = compressed
+    collection._index = Collection._make_index(index_kind, metric, dict(opts))
+    collection._store = loaded_store
+    collection._write_lock = threading.RLock()
+    collection._version = 0
+    collection._cache = None
+    collection._cache_version = -1
+
+    records = loaded_store.all()
+    _validate_snapshot_records(collection, records)
+    collection._index.put_many(
+        [(r.id, r.vector) for r in sorted(records, key=lambda r: r.id)]
+    )
+    configure = getattr(loaded_store, "configure", None)
+    if callable(configure):
+        configure(collection._config())
+    return collection
+
+
+def _validate_snapshot_records(collection, records):
+    if not isinstance(records, list):
+        raise E.InvalidSnapshot("invalid snapshot records")
+    for r in records:
+        if not isinstance(r, Embedding):
+            raise E.InvalidSnapshotRecord("invalid_embedding")
+        try:
+            if not (isinstance(r.id, str) and r.id) and not (
+                isinstance(r.value, str) and r.value
+            ):
+                raise E.MissingId("missing id")
+            collection._validate_dims(r.vector)
+            if r.vectors is not None:
+                if not isinstance(r.vectors, (list, tuple)) or not r.vectors:
+                    raise E.InvalidMultiVector("invalid multi vector")
+                for v in r.vectors:
+                    collection._validate_dims(v)
+            if r.binary_vector is not None:
+                words = [int(w) for w in r.binary_vector]
+                if len(words) != words_for(collection.dimensions) or any(
+                    w < 0 or w > 2**64 - 1 for w in words
+                ):
+                    raise E.InvalidBinaryVector("invalid binary vector")
+        except E.VettoreError as exc:
+            raise E.InvalidSnapshotRecord(exc.reason) from exc

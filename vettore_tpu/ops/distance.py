@@ -240,6 +240,30 @@ def normalize_vector(vector, method: str) -> list:
     return [float(x) for x in out.astype(np.float32)]
 
 
+def normalize_rows(matrix: np.ndarray, method: str) -> np.ndarray:
+    """Row-wise vectorized normalization with the same semantics as
+    :func:`normalize_vector` (float64 math, float32 output). Used by the
+    collection insert pipeline for batch ingest."""
+    if method not in NORMALIZATIONS:
+        raise UnknownNormalization(method)
+    m = np.asarray(matrix, dtype=np.float64)
+    if method == "none" or m.size == 0:
+        return m.astype(np.float32)
+    if method == "l2":
+        norms = np.sqrt(np.sum(m * m, axis=1, keepdims=True))
+        out = np.divide(m, norms, out=np.zeros_like(m), where=norms != 0.0)
+    elif method == "zscore":
+        mean = np.mean(m, axis=1, keepdims=True)
+        std = np.sqrt(np.mean((m - mean) ** 2, axis=1, keepdims=True))
+        out = np.divide(m - mean, std, out=np.zeros_like(m), where=std != 0.0)
+    else:  # minmax
+        lo = np.min(m, axis=1, keepdims=True)
+        hi = np.max(m, axis=1, keepdims=True)
+        span = hi - lo
+        out = np.divide(m - lo, span, out=np.zeros_like(m), where=span != 0.0)
+    return out.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Batched device scoring
 # ---------------------------------------------------------------------------

@@ -126,6 +126,16 @@ def pack_signs_u32(matrix: np.ndarray) -> np.ndarray:
     return (shaped.astype(np.uint32) * weights[None, None, :]).sum(axis=2, dtype=np.uint32)
 
 
+def pack_signs_u64_rows(matrix: np.ndarray) -> np.ndarray:
+    """Packs the signs of an ``[N, d]`` float matrix into ``[N, words_for(d)]``
+    uint64 words — the batch form of :func:`compress_sign_bits` used by the
+    collection insert pipeline."""
+    u32 = pack_signs_u32(np.asarray(matrix, dtype=np.float64))
+    lo = u32[:, 0::2].astype(np.uint64)
+    hi = u32[:, 1::2].astype(np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
 @jax.jit
 def batched_packed_hamming(bits, query_bits):
     """Hamming distance of every packed row vs the packed query.
