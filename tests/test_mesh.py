@@ -1,0 +1,60 @@
+"""Mesh-sharded search tests on the virtual 8-device CPU mesh: sharded
+results must exactly equal the single-device flat index (same (rank, id)
+tie-break), for several mesh layouts."""
+
+import jax
+import numpy as np
+import pytest
+
+from vettore_tpu.index.flat import FlatIndex
+from vettore_tpu.parallel import ShardedFlat, make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def corpus(n=100, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    ids = [f"doc-{i:03d}" for i in range(n)]
+    return ids, vectors
+
+
+@pytest.mark.parametrize("data", [1, 2, 4])
+@pytest.mark.parametrize("metric", ["cosine", "l2", "inner_product"])
+def test_sharded_equals_single_device(data, metric):
+    ids, vectors = corpus()
+    mesh = make_mesh(data=data)
+    sharded = ShardedFlat(metric, mesh, ids, vectors)
+
+    reference = FlatIndex(metric)
+    reference.put_many(zip(ids, vectors))
+
+    rng = np.random.default_rng(7)
+    queries = rng.normal(size=(5, 16)).astype(np.float32)
+    got = sharded.search_batch(queries, 10)
+    for q, hits in zip(queries, got):
+        expected = reference.search(list(q), 10)
+        assert [h[0] for h in hits] == [e[0] for e in expected]
+        for (_, hr), (_, er) in zip(hits, expected):
+            assert abs(hr - er) <= 1e-5 * max(1.0, abs(er))
+
+
+def test_sharded_tie_break_matches():
+    # many duplicate vectors: ordering must follow ids across shard boundaries
+    ids = [f"t-{i:02d}" for i in range(64)]
+    vectors = np.ones((64, 4), dtype=np.float32)
+    mesh = make_mesh()
+    sharded = ShardedFlat("l2", mesh, ids, vectors)
+    hits = sharded.search_batch(np.ones((1, 4), dtype=np.float32), 10)[0]
+    assert [h[0] for h in hits] == ids[:10]
+
+
+def test_uneven_rows_pad():
+    ids, vectors = corpus(n=13)
+    mesh = make_mesh()
+    sharded = ShardedFlat("cosine", mesh, ids, vectors)
+    hits = sharded.search_batch(vectors[3][None, :], 5)[0]
+    assert hits[0][0] == "doc-003"
+    assert len(hits) == 5
