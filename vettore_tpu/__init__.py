@@ -26,6 +26,7 @@ from . import distance, errors, multi_vector, muvera
 from .collection import Collection, load_snapshot
 from .embedding import Embedding, Result
 from .index.flat import FlatIndex
+from .index.hnsw import HnswIndex
 from .metrics import METRICS, metric_code, normalize_metric, result_values
 from .ops.scan_host import binary_top_k, vector_top_k
 from .store.memory import MemoryStore
@@ -38,6 +39,7 @@ __all__ = [
     "Embedding",
     "Result",
     "FlatIndex",
+    "HnswIndex",
     "MemoryStore",
     "METRICS",
     "metric_code",

@@ -2,5 +2,6 @@
 
 from .base import Index
 from .flat import FlatIndex
+from .hnsw import HnswIndex
 
-__all__ = ["Index", "FlatIndex"]
+__all__ = ["Index", "FlatIndex", "HnswIndex"]

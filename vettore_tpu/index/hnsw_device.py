@@ -1,0 +1,240 @@
+"""Batched HNSW beam search on device.
+
+The TPU-native redesign of the reference's pointer-chasing query path
+(hnsw.rs:292-434): the graph lives in fixed-degree adjacency arrays
+(``[N, m0]`` int32, -1 padded; compacted ``[U, L, m]`` for upper layers), and
+a query batch traverses it inside one jitted program —
+
+* greedy descent through upper layers via ``lax.while_loop`` (gather the
+  neighbor block, score with a masked matvec, move while improving);
+* a sorted-array beam at layer 0: each step expands the best unexpanded beam
+  entry, gathers its ``m0`` neighbor vectors, scores them on the MXU, masks
+  visited nodes with a per-query bitset, and merge-sorts the beam — the array
+  equivalent of the reference's candidate/result heap pair;
+* deterministic (distance, id) ordering via multi-key sorts on lex rank.
+
+Queries are vmapped, so one dispatch serves a whole batch; the visited bitset
+costs ``N/8`` bytes per in-flight query, so batches are chunked.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CHUNK = 512
+
+
+def _rank_rows(rows, q, metric):
+    """Ascending rank distance of gathered rows [k, d] vs q [d]."""
+    if metric == "l2":
+        return jnp.sqrt(jnp.maximum(jnp.sum((rows - q) ** 2, axis=-1), 0.0))
+    dots = jnp.einsum(
+        "...kd,d->...k", rows, q,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    return 1.0 - dots if metric == "cosine" else -dots
+
+
+class DeviceGraph:
+    """Device-resident snapshot of a host HNSW graph."""
+
+    def __init__(self, host):
+        internals = sorted(host._vectors.keys())
+        n = len(internals)
+        slot_of = {internal: i for i, internal in enumerate(internals)}
+        d = host._dim
+        x = np.zeros((n, d), dtype=np.float32)
+        levels = np.zeros(n, dtype=np.int32)
+        ids = []
+        for internal, slot in slot_of.items():
+            x[slot] = host._vectors[internal]
+            levels[slot] = host._levels[internal]
+            ids.append(host._external[internal])
+        ids = [host._external[i] for i in internals]
+        m0 = host.params["m0"]
+        m = host.params["m"]
+        a0 = np.full((n, m0), -1, dtype=np.int32)
+        for internal, slot in slot_of.items():
+            conns = host._connections[internal][0] if host._connections[internal] else []
+            conns = [slot_of[c] for c in conns if c in slot_of][:m0]
+            a0[slot, : len(conns)] = conns
+
+        lmax = int(levels.max()) if n else 0
+        upper_slots = np.flatnonzero(levels >= 1)
+        up_index = np.full(n, -1, dtype=np.int32)
+        up_index[upper_slots] = np.arange(len(upper_slots), dtype=np.int32)
+        up_adj = np.full((max(len(upper_slots), 1), max(lmax, 1), m), -1, dtype=np.int32)
+        for u, slot in enumerate(upper_slots):
+            internal = internals[slot]
+            conns = host._connections[internal]
+            for layer in range(1, len(conns)):
+                row = [slot_of[c] for c in conns[layer] if c in slot_of][:m]
+                up_adj[u, layer - 1, : len(row)] = row
+
+        order = np.argsort(np.array(ids, dtype=str), kind="stable")
+        lex_rank = np.zeros(n, dtype=np.int32)
+        lex_rank[order] = np.arange(n, dtype=np.int32)
+
+        self.ids = ids
+        self.n = n
+        self.m0 = m0
+        self.m = m
+        self.lmax = lmax
+        self.metric = host.metric
+        self.x = jnp.asarray(x)
+        self.a0 = jnp.asarray(a0)
+        self.up_index = jnp.asarray(up_index)
+        self.up_adj = jnp.asarray(up_adj)
+        self.lex_rank = jnp.asarray(lex_rank)
+        self.entry_slot = jnp.int32(slot_of[host._entry])
+        self.entry_level = jnp.int32(levels[slot_of[host._entry]])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "lmax", "ef", "limit", "max_steps"),
+)
+def _search_kernel(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, queries,
+                   *, metric, lmax, ef, limit, max_steps):
+    n = x.shape[0]
+    m0 = a0.shape[1]
+    words = (n + 31) // 32
+
+    def one(q):
+        # ---- greedy descent over upper layers (hnsw.rs:302-305,336-372)
+        def greedy(layer, g):
+            def cond(state):
+                _, _, moved = state
+                return moved
+
+            def body(state):
+                g, gd, _ = state
+                u = up_index[g]
+                row = jnp.where(u >= 0, up_adj[jnp.maximum(u, 0), layer - 1], -1)
+                valid = row >= 0
+                vecs = x[jnp.maximum(row, 0)]
+                dists = jnp.where(valid, _rank_rows(vecs, q, metric), jnp.inf)
+                j = jnp.argmin(dists)
+                better = dists[j] < gd
+                return (
+                    jnp.where(better, row[j], g),
+                    jnp.where(better, dists[j], gd),
+                    better,
+                )
+
+            gd = _rank_rows(x[g][None, :], q, metric)[0]
+            g, _, _ = jax.lax.while_loop(cond, body, (g, gd, True))
+            return g
+
+        g = entry_slot
+        for layer in range(lmax, 0, -1):
+            g = jax.lax.cond(layer <= entry_level, lambda gg: greedy(layer, gg),
+                             lambda gg: gg, g)
+
+        # ---- layer-0 beam (hnsw.rs:375-434)
+        beam_d = jnp.full(ef, jnp.inf, jnp.float32)
+        beam_id = jnp.full(ef, -1, jnp.int32)
+        beam_exp = jnp.zeros(ef, bool)
+        visited = jnp.zeros(words, jnp.uint32)
+
+        g0d = _rank_rows(x[g][None, :], q, metric)[0]
+        beam_d = beam_d.at[0].set(g0d)
+        beam_id = beam_id.at[0].set(g)
+        visited = visited.at[g // 32].set(jnp.uint32(1) << jnp.uint32(g % 32))
+
+        def cond(state):
+            _, _, _, _, step, done = state
+            return jnp.logical_and(step < max_steps, jnp.logical_not(done))
+
+        def body(state):
+            beam_d, beam_id, beam_exp, visited, step, _ = state
+            unexp = jnp.where((~beam_exp) & (beam_id >= 0), beam_d, jnp.inf)
+            j = jnp.argmin(unexp)
+            worst = beam_d[ef - 1]
+            done = jnp.isinf(unexp[j]) | (unexp[j] > worst)
+
+            def expand(args):
+                beam_d, beam_id, beam_exp, visited = args
+                beam_exp = beam_exp.at[j].set(True)
+                node = beam_id[j]
+                nbrs = a0[jnp.maximum(node, 0)]
+                valid = nbrs >= 0
+                safe = jnp.maximum(nbrs, 0)
+                word = safe // 32
+                bit = jnp.uint32(1) << jnp.uint32(safe % 32)
+                seen = (visited[word] & bit) != 0
+                fresh = valid & ~seen
+                # adjacency rows are deduplicated, so each fresh bit is 0 and
+                # scatter-add over shared words equals bitwise OR
+                visited = visited.at[word].add(jnp.where(fresh, bit, jnp.uint32(0)))
+                nd = jnp.where(fresh, _rank_rows(x[safe], q, metric), jnp.inf)
+                cat_d = jnp.concatenate([beam_d, nd])
+                cat_id = jnp.concatenate([beam_id, jnp.where(fresh, nbrs, -1)])
+                cat_exp = jnp.concatenate([beam_exp, jnp.zeros(m0, bool)])
+                cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], 2**31 - 1)
+                cat_d, _, cat_id, cat_exp = jax.lax.sort(
+                    (cat_d, cat_lex, cat_id, cat_exp), num_keys=2
+                )
+                return cat_d[:ef], cat_id[:ef], cat_exp[:ef], visited
+
+            beam_d, beam_id, beam_exp, visited = jax.lax.cond(
+                done, lambda args: args, expand, (beam_d, beam_id, beam_exp, visited)
+            )
+            return beam_d, beam_id, beam_exp, visited, step + 1, done
+
+        beam_d, beam_id, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (beam_d, beam_id, beam_exp, visited, 0, False)
+        )
+
+        # final ordering by (dist, external id); recompute raw metric values
+        top_id = beam_id[:limit]
+        top_d = beam_d[:limit]
+        safe = jnp.maximum(top_id, 0)
+        if metric == "l2":
+            raw = top_d
+        else:
+            raw = jnp.einsum(
+                "kd,d->k", x[safe], q,
+                precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+            )
+        return top_id, jnp.where(top_id >= 0, raw, jnp.inf), top_d
+
+    return jax.vmap(one)(queries)
+
+
+def search(host, queries: np.ndarray, limit: int) -> list:
+    """Batched device search over a host HNSW graph; returns per-query
+    ``[(external_id, raw)]`` hit lists."""
+    if host._device is None or host._device_version != host._version:
+        host._device = DeviceGraph(host)
+        host._device_version = host._version
+    graph = host._device
+    ef = max(host.params["ef_search"], limit)
+    ef = min(ef, graph.n)
+    k = min(limit, graph.n)
+    max_steps = graph.n + ef
+
+    out = []
+    queries = np.asarray(queries, dtype=np.float32)
+    for start in range(0, queries.shape[0], _CHUNK):
+        chunk = queries[start : start + _CHUNK]
+        ids, raws, _dists = jax.device_get(
+            _search_kernel(
+                graph.x, graph.a0, graph.up_index, graph.up_adj, graph.lex_rank,
+                graph.entry_slot, graph.entry_level, jnp.asarray(chunk),
+                metric=graph.metric, lmax=graph.lmax, ef=ef, limit=k,
+                max_steps=max_steps,
+            )
+        )
+        for row_ids, row_raws in zip(ids, raws):
+            hits = []
+            for slot, raw in zip(row_ids, row_raws):
+                if slot < 0:
+                    continue
+                hits.append((graph.ids[int(slot)], float(raw)))
+            out.append(hits)
+    return out
