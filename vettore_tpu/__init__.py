@@ -24,6 +24,7 @@ Quick start::
 
 from . import distance, errors, multi_vector, muvera
 from .collection import Collection, load_snapshot
+from .compat import DB
 from .embedding import Embedding, Result
 from .index.flat import FlatIndex
 from .index.hnsw import HnswIndex
@@ -35,6 +36,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Collection",
+    "DB",
     "load_snapshot",
     "Embedding",
     "Result",

@@ -115,10 +115,17 @@ class HnswIndex(Index):
         self._device = None  # built lazily by hnsw_device
         self._device_version = -1
         self._version = 0
+        self._bulk = None  # BulkGraph when constructed by device waves
+
+    #: batches at least this large on an empty index use device wave
+    #: construction instead of sequential host inserts
+    BULK_THRESHOLD = 20_000
 
     # -- introspection ------------------------------------------------------
 
     def __len__(self) -> int:
+        if self._bulk is not None:
+            return self._bulk.n
         return len(self._internal)
 
     @property
@@ -164,6 +171,7 @@ class HnswIndex(Index):
 
     def put(self, id: str, vector) -> None:
         arr = self._validate(vector)
+        self._hydrate_bulk()
         self._insert(str(id), arr)
         self._version += 1
 
@@ -184,10 +192,70 @@ class HnswIndex(Index):
             if not np.isfinite(arr).all():
                 raise InvalidVector("vector contains a non-finite value")
             batch.append((str(id), arr))
+        if (
+            self._bulk is None
+            and not self._vectors
+            and len(batch) >= self.BULK_THRESHOLD
+        ):
+            self._bulk_build(batch)
+            return
+        self._hydrate_bulk()
         for id, arr in batch:
             self._insert(id, arr)
         if batch:
             self._version += 1
+
+    def _bulk_build(self, batch):
+        """Device wave construction for large cold-start ingests (see
+        hnsw_build.py). Duplicate ids keep the last occurrence, matching the
+        replace semantics of sequential insert."""
+        from . import hnsw_build
+
+        last = {}
+        for id, arr in batch:
+            last[id] = arr
+        ids = list(last.keys())
+        vectors = np.stack([last[i] for i in ids]).astype(np.float32)
+        self._bulk = hnsw_build.bulk_build(self.metric, self.params, ids, vectors)
+        self._dim = vectors.shape[1]
+        self._version += 1
+        self._device = self._bulk
+        self._device_version = self._version
+
+    def _hydrate_bulk(self):
+        """Converts a bulk-built device graph back into the incremental host
+        structures so put/delete can mutate it (canonical graph stays
+        host-reconstructible)."""
+        if self._bulk is None:
+            return
+        graph = self._bulk
+        a0 = np.asarray(graph.a0)
+        up_adj = np.asarray(graph.up_adj)
+        up_index = np.asarray(graph.up_index)
+        x = np.asarray(graph.x)
+        levels = np.asarray(graph.levels)
+        self._vectors = {}
+        self._external = {}
+        self._levels = {}
+        self._connections = {}
+        self._internal = {}
+        for slot in range(graph.n):
+            level = int(levels[slot])
+            conns = [[int(c) for c in a0[slot] if c >= 0]]
+            u = int(up_index[slot])
+            for layer in range(1, level + 1):
+                row = up_adj[u, layer - 1] if u >= 0 else []
+                conns.append([int(c) for c in row if c >= 0])
+            self._vectors[slot] = x[slot].astype(np.float64)
+            self._external[slot] = graph.ids[slot]
+            self._levels[slot] = level
+            self._connections[slot] = conns
+            self._internal[graph.ids[slot]] = slot
+        self._next = graph.n
+        self._entry = int(graph.entry_slot)
+        self._bulk = None
+        self._device = None
+        self._device_version = -1
 
     def _insert(self, external_id: str, vector: np.ndarray) -> None:
         if external_id in self._internal:
@@ -248,6 +316,7 @@ class HnswIndex(Index):
             self._entry = internal
 
     def delete(self, external_id: str) -> None:
+        self._hydrate_bulk()
         internal = self._internal.pop(str(external_id), None)
         if internal is None:
             return
@@ -345,7 +414,7 @@ class HnswIndex(Index):
         if limit == 0:
             return []
         arr = self._validate(query)
-        if self._entry is None:
+        if self._bulk is None and self._entry is None:
             return []
         if self._use_device():
             from . import hnsw_device
@@ -359,7 +428,7 @@ class HnswIndex(Index):
             return [[] for _ in range(queries.shape[0])]
         for q in queries:
             self._validate(q)
-        if self._entry is None:
+        if self._bulk is None and self._entry is None:
             return [[] for _ in range(queries.shape[0])]
         if self._use_device():
             from . import hnsw_device
@@ -368,8 +437,9 @@ class HnswIndex(Index):
         return [self._search_host(q, limit) for q in queries]
 
     def _use_device(self) -> bool:
-        # device beam search pays off past a few thousand nodes
-        return len(self._internal) >= 2048
+        # bulk graphs only exist on device; otherwise device beam search pays
+        # off past a few thousand nodes
+        return self._bulk is not None or len(self._internal) >= 2048
 
     def _search_host(self, query: np.ndarray, limit: int) -> list:
         entry = self._entry

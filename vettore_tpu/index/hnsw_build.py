@@ -1,0 +1,387 @@
+"""Bulk HNSW construction on device: wave insertion.
+
+The reference builds its graph one sequential insert at a time
+(hnsw.rs:152-244) — inherently pointer-chasing and far too slow for
+million-scale ingest on a host loop. The TPU-native redesign inserts in
+*waves*:
+
+* nodes are ordered by (level desc, id) — deterministic FNV-1a levels mean
+  the first node is the entry for the whole build, and "already inserted"
+  is simply ``slot < wave_start``;
+* each wave runs the reference's insert search batched on device: greedy
+  descent to the node's level, an ``ef_construction`` beam per layer, and
+  neighbor truncation to m/m0 by (distance, id);
+* nodes inside a wave cannot see each other through the frozen graph, so
+  intra-wave candidates come from a ``[B, B]`` MXU distance matrix merged
+  into each layer's beam results;
+* reciprocal edges apply as one scatter/segment program per layer: edges
+  sort by (dst, dist), cap incoming per node, union with the node's existing
+  row, rescore, dedup, and prune — the batched equivalent of
+  hnsw.rs:220-236's add-then-prune.
+
+The produced graph diverges from sequential insertion order (expected; the
+parity gate is recall@k, SURVEY §7), but levels, degrees, and tie-breaking
+stay reference-deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hnsw import level_for
+
+_BIG32 = 2**31 - 1
+
+
+def _rank_block(rows, q, metric):
+    """rows [..., k, d] vs q [..., d] → ascending rank distances [..., k]."""
+    if metric == "l2":
+        return jnp.sqrt(jnp.maximum(jnp.sum((rows - q[..., None, :]) ** 2, axis=-1), 0.0))
+    dots = jnp.einsum(
+        "...kd,...d->...k", rows, q,
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )
+    return 1.0 - dots if metric == "cosine" else -dots
+
+
+class BulkGraph:
+    """DeviceGraph-compatible result of a bulk build (see hnsw_device.search)."""
+
+    def __init__(self, ids, n, m, m0, lmax, metric, x, a0, up_index, up_adj,
+                 lex_rank, entry_slot, entry_level, levels):
+        self.ids = ids
+        self.n = n
+        self.m = m
+        self.m0 = m0
+        self.lmax = lmax
+        self.metric = metric
+        self.x = x
+        self.a0 = a0
+        self.up_index = up_index
+        self.up_adj = up_adj
+        self.lex_rank = lex_rank
+        self.entry_slot = entry_slot
+        self.entry_level = entry_level
+        self.levels = levels
+
+
+def _beam_layer(x, adj_rows_fn, lex_rank, q, g, start, enabled, *, metric, ef, deg,
+                words, max_steps):
+    """Sorted-array beam over one layer (same scheme as hnsw_device). ``g`` is
+    the entry slot (must be < start, i.e. already inserted). ``enabled`` is a
+    traced flag: disabled lanes seed an empty beam and terminate immediately
+    (loops must stay mask-driven — wrapping them in ``lax.cond`` under vmap
+    batches every closed-over array)."""
+    beam_d = jnp.full(ef, jnp.inf, jnp.float32)
+    beam_id = jnp.full(ef, -1, jnp.int32)
+    beam_exp = jnp.zeros(ef, bool)
+    visited = jnp.zeros(words, jnp.uint32)
+
+    g0d = _rank_block(x[g][None, :], q, metric)[0]
+    beam_d = beam_d.at[0].set(jnp.where(enabled, g0d, jnp.inf))
+    beam_id = beam_id.at[0].set(jnp.where(enabled, g, -1))
+    visited = visited.at[g // 32].set(
+        jnp.where(enabled, jnp.uint32(1) << jnp.uint32(g % 32), jnp.uint32(0))
+    )
+
+    def cond(state):
+        *_, step, done = state
+        return jnp.logical_and(step < max_steps, jnp.logical_not(done))
+
+    def body(state):
+        beam_d, beam_id, beam_exp, visited, step, _ = state
+        unexp = jnp.where((~beam_exp) & (beam_id >= 0), beam_d, jnp.inf)
+        j = jnp.argmin(unexp)
+        done = jnp.isinf(unexp[j]) | (unexp[j] > beam_d[ef - 1])
+
+        # unconditional expansion + select (no lax.cond: it would broadcast
+        # the closed-over graph arrays across the vmap batch)
+        nbrs = adj_rows_fn(jnp.maximum(beam_id[j], 0))
+        valid = (nbrs >= 0) & (nbrs < start) & ~done
+        safe = jnp.maximum(nbrs, 0)
+        word = safe // 32
+        bit = jnp.uint32(1) << jnp.uint32(safe % 32)
+        seen = (visited[word] & bit) != 0
+        fresh = valid & ~seen
+        visited = visited.at[word].add(jnp.where(fresh, bit, jnp.uint32(0)))
+        nd = jnp.where(fresh, _rank_block(x[safe], q, metric), jnp.inf)
+        cat_d = jnp.concatenate([beam_d, nd])
+        cat_id = jnp.concatenate([beam_id, jnp.where(fresh, nbrs, -1)])
+        cat_exp = jnp.concatenate(
+            [beam_exp.at[j].set(beam_exp[j] | ~done), jnp.zeros(nbrs.shape[0], bool)]
+        )
+        cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], _BIG32)
+        cat_d, _, cat_id, cat_exp = jax.lax.sort(
+            (cat_d, cat_lex, cat_id, cat_exp), num_keys=2
+        )
+        return cat_d[:ef], cat_id[:ef], cat_exp[:ef], visited, step + 1, done
+
+    beam_d, beam_id, *_ = jax.lax.while_loop(
+        cond, body, (beam_d, beam_id, beam_exp, visited, 0, False)
+    )
+    return beam_d, beam_id
+
+
+def _greedy_upper(x, up_adj, up_index, q, g, start, enabled, layer, metric):
+    """Greedy descent on one upper layer; ``enabled`` lanes iterate, others
+    return ``g`` unchanged after zero iterations."""
+
+    def cond(state):
+        return state[2]
+
+    def body(state):
+        g, gd, _ = state
+        u = up_index[g]
+        row = jnp.where(u >= 0, up_adj[jnp.maximum(u, 0), layer - 1], -1)
+        valid = (row >= 0) & (row < start)
+        dists = jnp.where(valid, _rank_block(x[jnp.maximum(row, 0)], q, metric), jnp.inf)
+        j = jnp.argmin(dists)
+        better = dists[j] < gd
+        return jnp.where(better, row[j], g), jnp.where(better, dists[j], gd), better
+
+    gd = _rank_block(x[g][None, :], q, metric)[0]
+    g, _, _ = jax.lax.while_loop(cond, body, (g, gd, enabled))
+    return g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "efc", "m", "m0", "lmax", "beam_steps"),
+    donate_argnums=(1, 2),
+)
+def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
+               start, *, metric, efc, m, m0, lmax, beam_steps):
+    """Inserts one wave: batched construct-search + forward edges + reciprocal
+    prune. ``a0`` [n+1, m0] and ``up_adj`` [cap_up+1, max(lmax,1), m] carry a
+    trailing trash row. Returns updated (a0, up_adj)."""
+    n = x.shape[0]
+    words = (n + 31) // 32
+    B = wave_slots.shape[0]
+    entry_slot = jnp.int32(0)
+    entry_level = levels[0]
+    trash_up = up_adj.shape[0] - 1
+
+    # ---- intra-wave candidate matrix (peers can't be reached via the frozen
+    # graph, so they compete through a dense [B, B] distance block)
+    wave_x = x[wave_slots]
+    if metric == "l2":
+        sq = jnp.sum(wave_x**2, axis=1)
+        dots = jnp.dot(wave_x, wave_x.T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        peer_rank = jnp.sqrt(jnp.maximum(sq[:, None] + sq[None, :] - 2 * dots, 0.0))
+    else:
+        dots = jnp.dot(wave_x, wave_x.T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        peer_rank = 1.0 - dots if metric == "cosine" else -dots
+    eye = jnp.eye(B, dtype=bool)
+    peer_rank = jnp.where(eye | ~wave_mask[None, :], jnp.inf, peer_rank)
+    wave_levels = levels[wave_slots]
+    wave_lex = lex_rank[wave_slots]
+
+    # ---- per-node construct search
+    def search_one(slot, my_mask, peer_row):
+        q = x[slot]
+        lv = levels[slot]
+        has_graph = start > 0
+        g = jnp.where(has_graph, entry_slot, 0)
+
+        deg_max = max(m, m0)
+        sel_ids = jnp.full((lmax + 1, deg_max), -1, jnp.int32)
+        sel_d = jnp.full((lmax + 1, deg_max), jnp.inf, jnp.float32)
+
+        for l in range(lmax, -1, -1):
+            deg = m0 if l == 0 else m
+            in_graph_layer = has_graph & (l <= entry_level)
+            descend = in_graph_layer & (l > lv)
+            do_beam = in_graph_layer & (l <= lv)
+
+            if l >= 1:
+                g = _greedy_upper(x, up_adj, up_index, q, g, start, descend, l, metric)
+                adj_fn = lambda node, _l=l: jnp.where(
+                    up_index[node] >= 0, up_adj[jnp.maximum(up_index[node], 0), _l - 1], -1
+                )
+            else:
+                adj_fn = lambda node: a0[node]
+
+            bd, bi = _beam_layer(x, adj_fn, lex_rank, q, g, start, do_beam,
+                                 metric=metric, ef=efc, deg=deg, words=words,
+                                 max_steps=beam_steps)
+
+            # merge graph beam with intra-wave peers of sufficient level
+            active = my_mask & (l <= lv)
+            pmask = (wave_levels >= l) & jnp.isfinite(peer_row) & active
+            pd = jnp.where(pmask, peer_row, jnp.inf)
+            top_pd, ppos = jax.lax.top_k(-pd, min(deg, B))
+            top_pd = -top_pd
+            pids = jnp.where(jnp.isfinite(top_pd), wave_slots[ppos], -1)
+
+            cat_d = jnp.concatenate([bd, top_pd])
+            cat_id = jnp.concatenate([bi, pids])
+            cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], _BIG32)
+            cat_d, _, cat_id = jax.lax.sort((cat_d, cat_lex, cat_id), num_keys=2)
+            sel_ids = sel_ids.at[l, :deg].set(jnp.where(active, cat_id[:deg], -1))
+            sel_d = sel_d.at[l, :deg].set(jnp.where(active, cat_d[:deg], jnp.inf))
+
+            # next layer's entry = closest GRAPH candidate (a wave peer has no
+            # adjacency row yet and would stall the next layer's beam)
+            g = jnp.where(jnp.logical_and(do_beam, bi[0] >= 0), bi[0], g)
+        return sel_ids, sel_d
+
+    sel_ids, sel_d = jax.vmap(search_one)(wave_slots, wave_mask, peer_rank)
+    # sel_ids: [B, lmax+1, deg_max]
+
+    # ---- forward edges
+    safe_slots = jnp.where(wave_mask, wave_slots, n)  # trash row n
+    a0 = a0.at[safe_slots].set(sel_ids[:, 0, :m0])
+    for l in range(1, lmax + 1):
+        rows = jnp.where(
+            wave_mask & (up_index[wave_slots] >= 0) & (levels[wave_slots] >= l),
+            up_index[wave_slots],
+            trash_up,
+        )
+        up_adj = up_adj.at[rows, l - 1].set(sel_ids[:, l, :m])
+
+    # ---- reciprocal edges + prune, one segment program per layer
+    for l in range(0, lmax + 1):
+        deg = m0 if l == 0 else m
+        src = jnp.repeat(wave_slots, deg)
+        src_ok = jnp.repeat(wave_mask, deg)
+        dst = sel_ids[:, l, :deg].reshape(-1)
+        dist = sel_d[:, l, :deg].reshape(-1)
+        valid = (dst >= 0) & src_ok
+        E = dst.shape[0]
+
+        dkey = jnp.where(valid, dst, n)
+        slex = jnp.where(valid, lex_rank[jnp.maximum(src, 0)], _BIG32)
+        dkey, dist_s, _, src_s = jax.lax.sort(
+            (dkey, jnp.where(valid, dist, jnp.inf), slex, src), num_keys=3
+        )
+        iota = jnp.arange(E, dtype=jnp.int32)
+        first = jnp.concatenate([jnp.array([True]), dkey[1:] != dkey[:-1]])
+        seg_start = jax.lax.cummax(jnp.where(first, iota, 0))
+        seg_rank = iota - seg_start
+        keep = (dkey < n) & (seg_rank < deg)
+
+        inc = jnp.full((n + 1, deg), -1, jnp.int32)
+        inc = inc.at[jnp.where(keep, dkey, n), jnp.minimum(seg_rank, deg - 1)].set(
+            jnp.where(keep, src_s, -1)
+        )
+
+        proc = first & (dkey < n)
+        rows = jnp.where(proc, dkey, n)
+        if l == 0:
+            up_rows = None
+            exist = a0[rows]
+        else:
+            up_rows = jnp.where(proc, up_index[jnp.minimum(rows, n - 1)], trash_up)
+            up_rows = jnp.where(up_rows >= 0, up_rows, trash_up)
+            exist = up_adj[up_rows, l - 1]
+        cand = jnp.concatenate([exist, inc[rows]], axis=1)  # [E, 2*deg]
+
+        # the candidate rescoring gathers [chunk, 2*deg, d] vectors — chunk it
+        # so the working set stays bounded regardless of wave size
+        chunk = 4096
+        pad = (-E) % chunk
+        rows_p = jnp.pad(rows, (0, pad), constant_values=n)
+        proc_p = jnp.pad(proc, (0, pad))
+        cand_p = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
+
+        def prune_chunk(args):
+            rows_c, proc_c, cand_c = args
+            cvalid = (cand_c >= 0) & (cand_c != rows_c[:, None]) & proc_c[:, None]
+            csafe = jnp.maximum(cand_c, 0)
+            cd = jnp.where(
+                cvalid,
+                _rank_block(x[csafe], x[jnp.minimum(rows_c, n - 1)], metric),
+                jnp.inf,
+            )
+            clex = jnp.where(cvalid, lex_rank[csafe], _BIG32)
+            cd, clex_s, cand_s = jax.lax.sort(
+                (cd, clex, jnp.where(cvalid, cand_c, -1)), num_keys=2, dimension=1
+            )
+            dup = jnp.concatenate(
+                [
+                    jnp.zeros((cand_s.shape[0], 1), bool),
+                    (cand_s[:, 1:] == cand_s[:, :-1]) & (cand_s[:, 1:] >= 0),
+                ],
+                axis=1,
+            )
+            cd = jnp.where(dup, jnp.inf, cd)
+            cand_s = jnp.where(dup, -1, cand_s)
+            clex_s = jnp.where(dup, _BIG32, clex_s)
+            _, _, cand_s = jax.lax.sort((cd, clex_s, cand_s), num_keys=2, dimension=1)
+            return cand_s[:, :deg]
+
+        shaped = (
+            rows_p.reshape(-1, chunk),
+            proc_p.reshape(-1, chunk),
+            cand_p.reshape(-1, chunk, cand.shape[1]),
+        )
+        pruned = jax.lax.map(prune_chunk, shaped).reshape(-1, deg)[:E]
+        if l == 0:
+            a0 = a0.at[rows].set(jnp.where(proc[:, None], pruned, a0[rows]))
+        else:
+            up_adj = up_adj.at[up_rows, l - 1].set(
+                jnp.where(proc[:, None], pruned, up_adj[up_rows, l - 1])
+            )
+
+    return a0, up_adj
+
+
+def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
+               beam_steps: int | None = None) -> BulkGraph:
+    """Builds a full graph from scratch on device; returns a BulkGraph."""
+    vectors = np.asarray(vectors, dtype=np.float32)
+    n, d = vectors.shape
+    max_level = params["max_level"]
+    m, m0, efc = params["m"], params["m0"], params["ef_construction"]
+
+    levels = np.array([level_for(str(i), max_level) for i in ids], dtype=np.int32)
+    id_arr = np.array([str(i) for i in ids], dtype=str)
+    order = np.lexsort((id_arr, -levels))  # (level desc, id asc)
+    ids_sorted = [str(id_arr[i]) for i in order]
+    x = vectors[order]
+    levels = levels[order]
+
+    lex = np.argsort(np.array(ids_sorted, dtype=str), kind="stable")
+    lex_rank = np.zeros(n, dtype=np.int32)
+    lex_rank[lex] = np.arange(n, dtype=np.int32)
+
+    lmax = int(levels.max()) if n else 0
+    upper = np.flatnonzero(levels >= 1)
+    up_index = np.full(n, -1, dtype=np.int32)
+    up_index[upper] = np.arange(len(upper), dtype=np.int32)
+    cap_up = len(upper)
+
+    xd = jnp.asarray(x)
+    a0 = jnp.full((n + 1, m0), -1, jnp.int32)
+    up_adj = jnp.full((cap_up + 1, max(lmax, 1), m), -1, jnp.int32)
+    up_index_d = jnp.asarray(up_index)
+    lex_d = jnp.asarray(lex_rank)
+    levels_d = jnp.asarray(levels)
+
+    if beam_steps is None:
+        beam_steps = 4 * efc + 64
+
+    for start in range(0, n, wave):
+        size = min(wave, n - start)
+        slots = np.full(wave, 0, dtype=np.int32)
+        slots[:size] = np.arange(start, start + size, dtype=np.int32)
+        mask = np.zeros(wave, dtype=bool)
+        mask[:size] = True
+        a0, up_adj = _wave_step(
+            xd, a0, up_adj, up_index_d, lex_d, levels_d,
+            jnp.asarray(slots), jnp.asarray(mask), jnp.int32(start),
+            metric=metric, efc=efc, m=m, m0=m0, lmax=lmax, beam_steps=beam_steps,
+        )
+
+    return BulkGraph(
+        ids=ids_sorted, n=n, m=m, m0=m0, lmax=lmax, metric=metric,
+        x=xd, a0=a0[:n], up_index=up_index_d, up_adj=up_adj[:cap_up] if cap_up else up_adj[:1],
+        lex_rank=lex_d, entry_slot=jnp.int32(0), entry_level=jnp.int32(levels[0] if n else 0),
+        levels=levels,
+    )

@@ -105,8 +105,11 @@ def _search_kernel(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, q
     words = (n + 31) // 32
 
     def one(q):
-        # ---- greedy descent over upper layers (hnsw.rs:302-305,336-372)
-        def greedy(layer, g):
+        # ---- greedy descent over upper layers (hnsw.rs:302-305,336-372).
+        # NOTE: the layer-enable flag folds into the loop condition rather
+        # than a lax.cond wrapper — cond-wrapping a while_loop under vmap
+        # batches every closed-over array (x would broadcast to [B, n, d]).
+        def greedy(layer, g, enabled):
             def cond(state):
                 _, _, moved = state
                 return moved
@@ -127,13 +130,12 @@ def _search_kernel(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, q
                 )
 
             gd = _rank_rows(x[g][None, :], q, metric)[0]
-            g, _, _ = jax.lax.while_loop(cond, body, (g, gd, True))
+            g, _, _ = jax.lax.while_loop(cond, body, (g, gd, enabled))
             return g
 
         g = entry_slot
         for layer in range(lmax, 0, -1):
-            g = jax.lax.cond(layer <= entry_level, lambda gg: greedy(layer, gg),
-                             lambda gg: gg, g)
+            g = greedy(layer, g, layer <= entry_level)
 
         # ---- layer-0 beam (hnsw.rs:375-434)
         beam_d = jnp.full(ef, jnp.inf, jnp.float32)
@@ -157,34 +159,30 @@ def _search_kernel(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, q
             worst = beam_d[ef - 1]
             done = jnp.isinf(unexp[j]) | (unexp[j] > worst)
 
-            def expand(args):
-                beam_d, beam_id, beam_exp, visited = args
-                beam_exp = beam_exp.at[j].set(True)
-                node = beam_id[j]
-                nbrs = a0[jnp.maximum(node, 0)]
-                valid = nbrs >= 0
-                safe = jnp.maximum(nbrs, 0)
-                word = safe // 32
-                bit = jnp.uint32(1) << jnp.uint32(safe % 32)
-                seen = (visited[word] & bit) != 0
-                fresh = valid & ~seen
-                # adjacency rows are deduplicated, so each fresh bit is 0 and
-                # scatter-add over shared words equals bitwise OR
-                visited = visited.at[word].add(jnp.where(fresh, bit, jnp.uint32(0)))
-                nd = jnp.where(fresh, _rank_rows(x[safe], q, metric), jnp.inf)
-                cat_d = jnp.concatenate([beam_d, nd])
-                cat_id = jnp.concatenate([beam_id, jnp.where(fresh, nbrs, -1)])
-                cat_exp = jnp.concatenate([beam_exp, jnp.zeros(m0, bool)])
-                cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], 2**31 - 1)
-                cat_d, _, cat_id, cat_exp = jax.lax.sort(
-                    (cat_d, cat_lex, cat_id, cat_exp), num_keys=2
-                )
-                return cat_d[:ef], cat_id[:ef], cat_exp[:ef], visited
-
-            beam_d, beam_id, beam_exp, visited = jax.lax.cond(
-                done, lambda args: args, expand, (beam_d, beam_id, beam_exp, visited)
+            # compute the expansion unconditionally and select at the end —
+            # lax.cond here would broadcast x/a0 across the vmap batch
+            node = beam_id[j]
+            nbrs = a0[jnp.maximum(node, 0)]
+            valid = (nbrs >= 0) & ~done
+            safe = jnp.maximum(nbrs, 0)
+            word = safe // 32
+            bit = jnp.uint32(1) << jnp.uint32(safe % 32)
+            seen = (visited[word] & bit) != 0
+            fresh = valid & ~seen
+            # adjacency rows are deduplicated, so each fresh bit is 0 and
+            # scatter-add over shared words equals bitwise OR
+            visited = visited.at[word].add(jnp.where(fresh, bit, jnp.uint32(0)))
+            nd = jnp.where(fresh, _rank_rows(x[safe], q, metric), jnp.inf)
+            cat_d = jnp.concatenate([beam_d, nd])
+            cat_id = jnp.concatenate([beam_id, jnp.where(fresh, nbrs, -1)])
+            cat_exp = jnp.concatenate(
+                [beam_exp.at[j].set(beam_exp[j] | ~done), jnp.zeros(m0, bool)]
             )
-            return beam_d, beam_id, beam_exp, visited, step + 1, done
+            cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], 2**31 - 1)
+            cat_d, _, cat_id, cat_exp = jax.lax.sort(
+                (cat_d, cat_lex, cat_id, cat_exp), num_keys=2
+            )
+            return cat_d[:ef], cat_id[:ef], cat_exp[:ef], visited, step + 1, done
 
         beam_d, beam_id, _, _, _, _ = jax.lax.while_loop(
             cond, body, (beam_d, beam_id, beam_exp, visited, 0, False)
