@@ -143,6 +143,47 @@ class TestSearchBatch:
         assert dict(res[1])["small"] == 1.0
 
 
+class TestFusedPallasScan:
+    """The fused Pallas scan must match the XLA path exactly (ids and
+    tie-break) once the index is large enough to trigger it."""
+
+    @pytest.mark.parametrize("metric", ["cosine", "l2", "inner_product",
+                                        "negative_inner_product", "l2_squared"])
+    def test_matches_xla_path(self, metric):
+        rng = np.random.default_rng(17)
+        n, d = 1500, 16  # cap rounds to 2048 >= ROW_TILE -> fused eligible
+        data = rng.normal(size=(n, d)).astype(np.float32)
+        data[5] = data[6]  # exercise ties
+        index = FlatIndex(metric)
+        index.put_many((f"doc-{i:05d}", data[i]) for i in range(n))
+        assert index._fused_eligible(8)
+        queries = data[[3, 100, 700]]
+        fused = index.search_batch(queries, 8)
+        # force the XLA path for comparison
+        from vettore_tpu.index.flat import _search_kernel_batch
+        import jax
+        import jax.numpy as jnp
+        x, valid, lex_order = index._device
+        out = _search_kernel_batch(x, valid, lex_order, jnp.asarray(queries),
+                                   metric=metric, limit=8)
+        slots, raws, _r, _f = jax.device_get(out)
+        for b in range(3):
+            xla_hits = [(index._ids[int(s)], float(r)) for s, r in zip(slots[b], raws[b])]
+            assert [h[0] for h in fused[b]] == [h[0] for h in xla_hits]
+            for (_, fr), (_, xr) in zip(fused[b], xla_hits):
+                assert abs(fr - xr) <= 1e-5 * max(1.0, abs(xr))
+
+    def test_fused_overflow_falls_back(self):
+        F32_MAX = 3.4028234663852886e38
+        index = FlatIndex("inner_product")
+        pairs = [(f"p{i:04d}", [1.0, 1.0]) for i in range(1100)]
+        pairs.append(("big", [F32_MAX, F32_MAX]))
+        index.put_many(pairs)
+        assert index._fused_eligible(4)
+        res = index.search_batch(np.array([[2.0, -2.0]]), 4)
+        assert dict(res[0]).get("big") == 0.0
+
+
 class TestOverflowRecovery:
     def test_recoverable(self):
         index = FlatIndex("inner_product")

@@ -22,6 +22,24 @@ Quick start::
     results = col.search([1.0, 0.0, 0.0], limit=2)
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: Pallas/beam kernels take minutes to
+# compile on remote-compile backends; caching makes that a one-time cost.
+# Opt out with VETTORE_NO_COMPILE_CACHE=1.
+if not _os.environ.get("VETTORE_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "VETTORE_COMPILE_CACHE", _os.path.expanduser("~/.cache/vettore_tpu/jax")
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from . import distance, errors, multi_vector, muvera
 from .collection import Collection, load_snapshot
 from .compat import DB

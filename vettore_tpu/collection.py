@@ -520,9 +520,20 @@ class Collection:
         _reject_extra(extra)
         _validate_limit(limit)
         self.ensure_open()
-        prepared = np.stack([self.prepare_query(q) for q in queries]) if len(queries) else (
-            np.zeros((0, self.dimensions), np.float32)
-        )
+        if len(queries):
+            try:
+                qs = np.asarray(queries, dtype=np.float64)
+            except (TypeError, ValueError) as exc:
+                raise E.InvalidVector("queries must be numeric") from exc
+            if qs.ndim != 2:
+                raise E.InvalidVector("queries must be a [batch, dims] matrix")
+            if qs.shape[1] != self.dimensions:
+                raise E.DimensionMismatch("dimension mismatch")
+            if not np.isfinite(qs).all() or (np.abs(qs) > F32_MAX).any():
+                raise E.InvalidVector("vector contains a non-finite value")
+            prepared = normalize_rows(qs, self.normalize)
+        else:
+            prepared = np.zeros((0, self.dimensions), np.float32)
         batch = getattr(self._index, "search_batch", None)
         if callable(batch):
             all_hits = batch(prepared, limit)

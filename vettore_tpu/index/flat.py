@@ -47,6 +47,28 @@ def _search_kernel(x, valid, lex_order, q, *, metric, limit, use_true_cosine=Fal
     return slots, raw[slots], ranks, all_finite
 
 
+@jax.jit
+def _pack_hits(slots, raws, all_finite):
+    """Packs (slots, raws, finite) into ONE int32 array so results cross the
+    host link in a single transfer (each device_get leg pays a full RTT).
+
+    Integer transport is mandatory: small int32 slot values bitcast to f32
+    are denormals, and float transport flushes denormals to zero.
+    """
+    r = jax.lax.bitcast_convert_type(raws, jnp.int32)
+    flag = jnp.broadcast_to(
+        all_finite.astype(jnp.int32).reshape((1, 1)), (slots.shape[0], 1)
+    )
+    return jnp.concatenate([slots, r, flag], axis=1)
+
+
+def _unpack_hits(packed: np.ndarray, k: int):
+    slots = packed[:, :k]
+    raws = np.ascontiguousarray(packed[:, k : 2 * k]).view(np.float32)
+    all_finite = bool(packed[0, -1] > 0) if packed.size else True
+    return slots, raws, all_finite
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "limit", "use_true_cosine"))
 def _search_kernel_batch(x, valid, lex_order, queries, *, metric, limit, use_true_cosine=False):
     """Batched variant: ``queries`` [B, d] → per-query top-k in ONE dispatch.
@@ -100,6 +122,7 @@ class FlatIndex(Index):
         self._slot_of: dict[str, int] = {}
         self._free: list[int] = []
         self._device = None
+        self._device_scan = None
         self._dirty = True
 
     # -- introspection ------------------------------------------------------
@@ -190,12 +213,33 @@ class FlatIndex(Index):
         order = live[np.argsort(id_arr, kind="stable")] if live.size else live
         invalid = np.flatnonzero(~self._valid)
         lex_order = np.concatenate([order, invalid]).astype(np.int32)
+        lex_rank = np.zeros(self._cap, dtype=np.int32)
+        lex_rank[lex_order] = np.arange(self._cap, dtype=np.int32)
+        xsq = np.sum(
+            self._host_x.astype(np.float32) ** 2, axis=1, keepdims=True, dtype=np.float32
+        )
+        bias = np.where(self._valid[:, None], np.float32(0.0), np.float32(np.inf))
         self._device = (
             jnp.asarray(self._host_x),
             jnp.asarray(self._valid),
             jnp.asarray(lex_order),
         )
+        self._device_scan = (
+            jnp.asarray(xsq),
+            jnp.asarray(bias.astype(np.float32)),
+            jnp.asarray(lex_rank),
+        )
         self._dirty = False
+
+    def _fused_eligible(self, k: int) -> bool:
+        from ..ops.pallas_scan import MAX_FUSED_K, PALLAS_METRICS, ROW_TILE
+
+        return (
+            self.metric in PALLAS_METRICS
+            and self._cap >= ROW_TILE
+            and self._cap % ROW_TILE == 0
+            and k <= MAX_FUSED_K
+        )
 
     def search(self, query, limit: int) -> list:
         """Returns up to ``limit`` ``(id, raw)`` hits, best-first with
@@ -209,11 +253,26 @@ class FlatIndex(Index):
         self._sync_device()
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
-        out = _search_kernel(
-            x, valid, lex_order, jnp.asarray(q, dtype=jnp.float32), metric=self.metric, limit=k
-        )
-        # One host round-trip for all outputs (the host link dominates latency).
-        slots, raws, _ranks, all_finite = jax.device_get(out)
+        if self._fused_eligible(k):
+            from ..ops.pallas_scan import fused_flat_search
+
+            xsq, bias, lex_rank = self._device_scan
+            d_slots, d_raws, _d_ranks, d_fin = fused_flat_search(
+                x, xsq, bias, lex_rank, jnp.asarray(q, dtype=jnp.float32)[None, :],
+                metric=self.metric, k=k,
+            )
+            packed = np.asarray(_pack_hits(d_slots, d_raws, d_fin))
+            slots_b, raws_b, all_finite = _unpack_hits(packed, k)
+            slots, raws = slots_b[0], raws_b[0]
+        else:
+            d_slots, d_raws, _d_ranks, d_fin = _search_kernel(
+                x, valid, lex_order, jnp.asarray(q, dtype=jnp.float32),
+                metric=self.metric, limit=k,
+            )
+            # One host round-trip for all outputs (the link dominates latency).
+            packed = np.asarray(_pack_hits(d_slots[None, :], d_raws[None, :], d_fin))
+            slots_b, raws_b, all_finite = _unpack_hits(packed, k)
+            slots, raws = slots_b[0], raws_b[0]
         if not bool(all_finite):
             return self._host_search(q, limit)
         n = min(limit, len(self._slot_of))
@@ -224,20 +283,49 @@ class FlatIndex(Index):
         ``[(id, raw)]`` hit list per query."""
         if limit == 0:
             return [[] for _ in range(len(queries))]
-        qs = np.asarray(queries, dtype=np.float64)
+        try:
+            qs = np.asarray(queries, dtype=np.float64)
+        except (TypeError, ValueError) as exc:
+            raise InvalidVector("queries must be numeric") from exc
         if qs.ndim != 2:
             raise InvalidVector("queries must be a [batch, dims] matrix")
-        for row in qs:
-            _validate_row(row, self._dim)
+        if qs.shape[0] == 0:
+            return []
+        if qs.shape[1] == 0:
+            raise InvalidVector("vector must not be empty")
+        if self._dim is not None and qs.shape[1] != self._dim:
+            raise DimensionMismatch("dimension mismatch")
+        from ..metrics import F32_MAX
+
+        if qs.size and (not np.isfinite(qs).all() or (np.abs(qs) > F32_MAX).any()):
+            raise InvalidVector("vector contains a non-finite value")
         if not self._slot_of:
             return [[] for _ in range(qs.shape[0])]
         self._sync_device()
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
-        out = _search_kernel_batch(
-            x, valid, lex_order, jnp.asarray(qs, dtype=jnp.float32), metric=self.metric, limit=k
-        )
-        slots, raws, _ranks, all_finite = jax.device_get(out)
+        if self._fused_eligible(k):
+            from ..ops.pallas_scan import fused_flat_search
+
+            xsq, bias, lex_rank = self._device_scan
+            d_slots, d_raws, _d_ranks, d_fin = fused_flat_search(
+                x, xsq, bias, lex_rank, jnp.asarray(qs, dtype=jnp.float32),
+                metric=self.metric, k=k,
+            )
+            packed = np.asarray(_pack_hits(d_slots, d_raws, d_fin))
+            slots, raws, fin = _unpack_hits(packed, k)
+            all_finite = np.repeat(fin, qs.shape[0])
+        else:
+            d_slots, d_raws, _d_ranks, d_fin_rows = _search_kernel_batch(
+                x, valid, lex_order, jnp.asarray(qs, dtype=jnp.float32),
+                metric=self.metric, limit=k,
+            )
+            packed = np.asarray(_pack_hits(d_slots, d_raws, jnp.all(d_fin_rows)))
+            slots, raws, fin = _unpack_hits(packed, k)
+            if fin:
+                all_finite = np.repeat(True, qs.shape[0])
+            else:
+                all_finite = np.asarray(jax.device_get(d_fin_rows))
         n = min(limit, len(self._slot_of))
         results = []
         for b in range(qs.shape[0]):
@@ -248,6 +336,26 @@ class FlatIndex(Index):
                     [(self._ids[int(s)], float(r)) for s, r in zip(slots[b, :n], raws[b, :n])]
                 )
         return results
+
+    def search_batch_device(self, queries_device, limit: int):
+        """Device-to-device search: takes a resident [B, d] f32 query block,
+        returns (slots, raws) device arrays with no host transfer. This is the
+        serving/pipelining path — callers own staging and result fetch."""
+        self._sync_device()
+        x, valid, lex_order = self._device
+        k = bucket_limit(min(limit, max(len(self._slot_of), 1)), self._cap)
+        if self._fused_eligible(k):
+            from ..ops.pallas_scan import fused_flat_search
+
+            xsq, bias, lex_rank = self._device_scan
+            slots, raws, _ranks, _fin = fused_flat_search(
+                x, xsq, bias, lex_rank, queries_device, metric=self.metric, k=k
+            )
+            return slots, raws
+        slots, raws, _ranks, _fin = _search_kernel_batch(
+            x, valid, lex_order, queries_device, metric=self.metric, limit=k
+        )
+        return slots, raws
 
     def _host_search(self, q: np.ndarray, limit: int) -> list:
         """float64 fallback when f32 scoring overflowed — the analog of the

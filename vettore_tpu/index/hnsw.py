@@ -436,6 +436,24 @@ class HnswIndex(Index):
             return hnsw_device.search(self, queries, limit)
         return [self._search_host(q, limit) for q in queries]
 
+    def search_batch_device(self, queries_device, limit: int):
+        """Device-to-device beam search: resident [B, d] f32 queries in,
+        (slots, raws) device arrays out — no host transfer (serving path)."""
+        from . import hnsw_device
+
+        if self._device is None or self._device_version != self._version:
+            self._device = hnsw_device.DeviceGraph(self) if self._bulk is None else self._bulk
+            self._device_version = self._version
+        graph = self._device
+        ef = min(max(self.params["ef_search"], limit), graph.n)
+        ids, raws, _dists = hnsw_device._search_kernel(
+            graph.x, graph.a0, graph.up_index, graph.up_adj, graph.lex_rank,
+            graph.entry_slot, graph.entry_level, queries_device,
+            metric=graph.metric, lmax=graph.lmax, ef=ef,
+            limit=min(limit, graph.n), max_steps=graph.n + ef,
+        )
+        return ids, raws
+
     def _use_device(self) -> bool:
         # bulk graphs only exist on device; otherwise device beam search pays
         # off past a few thousand nodes

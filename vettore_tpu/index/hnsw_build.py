@@ -340,7 +340,12 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
     max_level = params["max_level"]
     m, m0, efc = params["m"], params["m0"], params["ef_construction"]
 
-    levels = np.array([level_for(str(i), max_level) for i in ids], dtype=np.int32)
+    from .. import native
+
+    str_ids = [str(i) for i in ids]
+    levels = native.levels_batch(str_ids, max_level)
+    if levels is None:  # no C++ toolchain: pure-Python fallback
+        levels = np.array([level_for(i, max_level) for i in str_ids], dtype=np.int32)
     id_arr = np.array([str(i) for i in ids], dtype=str)
     order = np.lexsort((id_arr, -levels))  # (level desc, id asc)
     ids_sorted = [str(id_arr[i]) for i in order]
