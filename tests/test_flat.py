@@ -156,7 +156,7 @@ class TestFusedPallasScan:
         data[5] = data[6]  # exercise ties
         index = FlatIndex(metric)
         index.put_many((f"doc-{i:05d}", data[i]) for i in range(n))
-        assert index._fused_eligible(8)
+        assert index._fused_row_tile(8, 3) is not None
         queries = data[[3, 100, 700]]
         fused = index.search_batch(queries, 8)
         # force the XLA path for comparison
@@ -179,7 +179,7 @@ class TestFusedPallasScan:
         pairs = [(f"p{i:04d}", [1.0, 1.0]) for i in range(1100)]
         pairs.append(("big", [F32_MAX, F32_MAX]))
         index.put_many(pairs)
-        assert index._fused_eligible(4)
+        assert index._fused_row_tile(4, 1) is not None
         res = index.search_batch(np.array([[2.0, -2.0]]), 4)
         assert dict(res[0]).get("big") == 0.0
 

@@ -49,6 +49,7 @@ from .ops.packing import (
     u64_words_to_u32,
     words_for,
 )
+from .observability import StatsRegistry, observed
 from .ops.topk import topk_desc
 from .store.base import Store, valid_store
 from .store.memory import MemoryStore
@@ -265,6 +266,7 @@ class Collection:
         self.index_options = dict(index_options or {})
         self.compressed = compressed
 
+        self._stats = StatsRegistry()
         self._index = self._make_index(index, metric, self.index_options)
         self._store = self._make_store(store, self._config())
         self._write_lock = threading.RLock()
@@ -330,6 +332,10 @@ class Collection:
         close = getattr(self._store, "close", None)
         if callable(close):
             close()
+
+    def stats(self) -> dict:
+        """Snapshot of per-operation counters and latency aggregates."""
+        return self._stats.snapshot()
 
     @property
     def store(self) -> Store:
@@ -399,6 +405,7 @@ class Collection:
     def put(self, item) -> None:
         self.put_many([item])
 
+    @observed("put_many")
     def put_many(self, items: Iterable) -> None:
         items = list(items)
         if not all(isinstance(i, (dict, Embedding)) for i in items):
@@ -422,6 +429,7 @@ class Collection:
             raise E.VettoreError("invalid id", reason="invalid_id")
         return self._store.get(id)
 
+    @observed("delete")
     def delete(self, id: str) -> None:
         if not isinstance(id, str):
             raise E.VettoreError("invalid id", reason="invalid_id")
@@ -507,6 +515,7 @@ class Collection:
     # search modes
     # ------------------------------------------------------------------
 
+    @observed("search")
     def search(self, query, *, limit=10, **extra) -> list:
         """Index search (exact flat scan or HNSW ANN)."""
         _reject_extra(extra)
@@ -515,6 +524,7 @@ class Collection:
         hits = self._index.search(q, limit)
         return self._hydrate_hits(hits)
 
+    @observed("search_batch")
     def search_batch(self, queries, *, limit=10, **extra) -> list:
         """Batched index search: one device dispatch for a query batch."""
         _reject_extra(extra)
@@ -541,6 +551,7 @@ class Collection:
             all_hits = [self._index.search(q, limit) for q in prepared]
         return [self._hydrate_hits(hits) for hits in all_hits]
 
+    @observed("funnel_search")
     def funnel_search(self, query, *, limit=10, candidates=None, stages=None, dimensions=None,
                       **extra) -> list:
         """Matryoshka funnel: prefix-staged candidate narrowing + exact rerank
@@ -587,6 +598,7 @@ class Collection:
         hits = scan_host.vector_top_k(pairs, q, self.metric, self.dimensions, limit)
         return [self._to_result(cache.by_id[id], raw) for id, raw in hits]
 
+    @observed("quantized_search")
     def quantized_search(self, query, *, limit=10, candidates=None, **extra) -> list:
         """Sign-bit Hamming candidates + exact rerank (collection.ex:274-295)."""
         _reject_extra(extra)
@@ -627,6 +639,7 @@ class Collection:
         final = scan_host.vector_top_k(survivors, q, self.metric, self.dimensions, limit)
         return [self._to_result(cache.by_id[id], raw) for id, raw in final]
 
+    @observed("multi_vector_search")
     def multi_vector_search(self, query_vectors, *, limit=10, metric=None, **extra) -> list:
         """ColBERT MaxSim late interaction over multi-vector records
         (collection.ex:311-323,742-760)."""
@@ -672,6 +685,7 @@ class Collection:
             for id, score in hits
         ]
 
+    @observed("hybrid_search")
     def hybrid_search(self, query, *, limit=10, generators=None, rerank="exact",
                       **extra) -> list:
         """Candidate-generator union + rerank (collection.ex:337-348,516-658)."""
@@ -927,6 +941,7 @@ def _restore(loaded_store, config, *, name, index, index_options, score):
     collection.index_kind = index_kind if isinstance(index_kind, str) else "custom"
     collection.index_options = dict(opts)
     collection.compressed = compressed
+    collection._stats = StatsRegistry()
     collection._index = Collection._make_index(index_kind, metric, dict(opts))
     collection._store = loaded_store
     collection._write_lock = threading.RLock()

@@ -30,6 +30,23 @@ MAX_FUSED_K = 128
 
 PALLAS_METRICS = ("cosine", "inner_product", "negative_inner_product", "l2", "l2_squared")
 
+#: scoped-VMEM budget for kernel buffers (the hardware limit is 16 MiB; leave
+#: headroom for compiler temporaries)
+_VMEM_BUDGET = 10 * 2**20
+
+
+def pick_row_tile(d: int, b: int, cap: int):
+    """Largest power-of-two row tile whose working set fits VMEM:
+    double-buffered x tile (2·rt·d·4) + rank scratch and ~3 temporaries
+    (4·rt·b·4) + resident queries (b·d·4). Returns None when no tile fits
+    (callers fall back to the XLA path)."""
+    for rt in (1024, 512, 256):
+        if cap % rt:
+            continue
+        if 2 * rt * d * 4 + 4 * rt * b * 4 + b * d * 4 <= _VMEM_BUDGET:
+            return rt
+    return None
+
 
 def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
                  flag_ref, rank_scratch, *, metric, k):
