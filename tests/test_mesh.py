@@ -58,3 +58,49 @@ def test_uneven_rows_pad():
     hits = sharded.search_batch(vectors[3][None, :], 5)[0]
     assert hits[0][0] == "doc-003"
     assert len(hits) == 5
+
+
+class TestShardedHnsw:
+    @pytest.mark.parametrize("data", [1, 2])
+    def test_sharded_hnsw_matches_exact_on_clusters(self, data):
+        from vettore_tpu.parallel import ShardedHnsw
+
+        rng = np.random.default_rng(9)
+        centers = rng.normal(size=(16, 12)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        n = 480
+        vectors = centers[rng.integers(0, 16, n)] + 0.03 * rng.normal(
+            size=(n, 12)
+        ).astype(np.float32)
+        vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+        ids = [f"doc-{i:03d}" for i in range(n)]
+
+        mesh = make_mesh(data=data)
+        sharded = ShardedHnsw("cosine", mesh, ids, vectors,
+                              options={"m": 8, "m0": 16, "ef_construction": 60,
+                                       "ef_search": 120})
+        exact = FlatIndex("cosine")
+        exact.put_many(zip(ids, vectors))
+
+        queries = vectors[rng.integers(0, n, 6)]
+        got = sharded.search_batch(queries, 10)
+        overlaps = []
+        for q, hits in zip(queries, got):
+            truth = exact.search(list(q), 10)
+            assert hits[0][0] == truth[0][0]  # exact self-hit across shards
+            overlaps.append(
+                len({h[0] for h in hits} & {t[0] for t in truth}) / 10
+            )
+        assert np.mean(overlaps) >= 0.9
+
+    def test_sharded_hnsw_tie_break(self):
+        from vettore_tpu.parallel import ShardedHnsw
+
+        ids = [f"t-{i:02d}" for i in range(64)]
+        vectors = np.ones((64, 4), dtype=np.float32)
+        mesh = make_mesh()
+        sharded = ShardedHnsw("l2", mesh, ids, vectors,
+                              options={"m": 4, "m0": 8, "ef_construction": 16,
+                                       "ef_search": 64})
+        hits = sharded.search_batch(np.ones((1, 4), dtype=np.float32), 10)[0]
+        assert [h[0] for h in hits] == ids[:10]

@@ -48,6 +48,64 @@ def _rank_block(rows, q, metric):
     return 1.0 - dots if metric == "cosine" else -dots
 
 
+#: use diversity-based neighbor selection (Malkov's select-neighbors
+#: heuristic) during bulk construction. The reference prunes by plain
+#: distance truncation (hnsw.rs:437-465), which severs inter-cluster bridges
+#: on clustered corpora and caps recall; the heuristic keeps a candidate only
+#: when it is closer to the base point than to every already-kept neighbor,
+#: preserving one edge per "direction". Pure construction-side improvement —
+#: query semantics are unchanged.
+HEURISTIC_SELECTION = True
+
+
+def _pairwise_rank(cvecs, metric):
+    """Candidate-to-candidate rank distances [..., C, C]. Selection-only, so
+    bf16 MXU precision is fine."""
+    dots = jnp.einsum("...cd,...ed->...ce", cvecs, cvecs,
+                      preferred_element_type=jnp.float32)
+    if metric == "l2":
+        sq = jnp.einsum("...cd,...cd->...c", cvecs, cvecs,
+                        preferred_element_type=jnp.float32)
+        return jnp.sqrt(jnp.maximum(sq[..., :, None] + sq[..., None, :] - 2 * dots, 0.0))
+    return 1.0 - dots if metric == "cosine" else -dots
+
+
+def _heuristic_select(cand_ids, cand_dists, P, deg):
+    """Diversity selection over candidates sorted ascending by distance-to-base.
+
+    Keeps candidate j when it is closer to the base than to every kept
+    neighbor; remaining slots fill with the closest pruned candidates
+    (hnswlib's keepPrunedConnections). Shapes: cand_ids/cand_dists [..., C],
+    P [..., C, C] pairwise candidate distances. Returns ids [..., deg].
+    """
+    C = cand_ids.shape[-1]
+    valid = jnp.isfinite(cand_dists) & (cand_ids >= 0)
+
+    # sequential scan in ascending-distance order: mdk[i] tracks candidate
+    # i's distance to the closest KEPT neighbor so far
+    def step(j, state):
+        mdk, count, kept = state
+        keep = valid[..., j] & (count < deg) & (cand_dists[..., j] < mdk[..., j])
+        mdk = jnp.where(keep[..., None], jnp.minimum(mdk, P[..., :, j]), mdk)
+        kept = kept.at[..., j].set(keep)
+        return mdk, count + keep, kept
+
+    mdk0 = jnp.full(cand_dists.shape, jnp.inf, jnp.float32)
+    count0 = jnp.zeros(cand_dists.shape[:-1], jnp.int32)
+    kept0 = jnp.zeros(valid.shape, bool)
+    _, _, kept = jax.lax.fori_loop(0, C, step, (mdk0, count0, kept0))
+
+    # kept candidates first (in distance order), then pruned-but-valid fills
+    pos = jax.lax.broadcasted_iota(jnp.int32, valid.shape, valid.ndim - 1)
+    key = jnp.where(kept, pos, jnp.where(valid, C + pos, 2 * C + pos))
+    order = jnp.argsort(key, axis=-1)
+    sel = jnp.take_along_axis(cand_ids, order[..., :deg], axis=-1)
+    sel_d = jnp.take_along_axis(cand_dists, order[..., :deg], axis=-1)
+    sel_key = jnp.take_along_axis(key, order[..., :deg], axis=-1)
+    ok = sel_key < 2 * C
+    return jnp.where(ok, sel, -1), jnp.where(ok, sel_d, jnp.inf)
+
+
 class BulkGraph:
     """DeviceGraph-compatible result of a bulk build (see hnsw_device.search)."""
 
@@ -223,8 +281,14 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
             cat_id = jnp.concatenate([bi, pids])
             cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], _BIG32)
             cat_d, _, cat_id = jax.lax.sort((cat_d, cat_lex, cat_id), num_keys=2)
-            sel_ids = sel_ids.at[l, :deg].set(jnp.where(active, cat_id[:deg], -1))
-            sel_d = sel_d.at[l, :deg].set(jnp.where(active, cat_d[:deg], jnp.inf))
+            if HEURISTIC_SELECTION:
+                cvecs = x[jnp.maximum(cat_id, 0)]
+                P = _pairwise_rank(cvecs, metric)
+                chosen, chosen_d = _heuristic_select(cat_id, cat_d, P, deg)
+            else:
+                chosen, chosen_d = cat_id[:deg], cat_d[:deg]
+            sel_ids = sel_ids.at[l, :deg].set(jnp.where(active, chosen, -1))
+            sel_d = sel_d.at[l, :deg].set(jnp.where(active, chosen_d, jnp.inf))
 
             # next layer's entry = closest GRAPH candidate (a wave peer has no
             # adjacency row yet and would stall the next layer's beam)
@@ -313,6 +377,13 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
             cd = jnp.where(dup, jnp.inf, cd)
             cand_s = jnp.where(dup, -1, cand_s)
             clex_s = jnp.where(dup, _BIG32, clex_s)
+            if HEURISTIC_SELECTION:
+                # valid entries stay ascending after dup-masking; infs never
+                # get kept, so no re-sort is needed before the scan
+                cvecs2 = x[jnp.maximum(cand_s, 0)]
+                P = _pairwise_rank(cvecs2, metric)
+                chosen, _ = _heuristic_select(cand_s, cd, P, deg)
+                return chosen
             _, _, cand_s = jax.lax.sort((cd, clex_s, cand_s), num_keys=2, dimension=1)
             return cand_s[:, :deg]
 

@@ -94,12 +94,10 @@ class DeviceGraph:
         self.entry_level = jnp.int32(levels[slot_of[host._entry]])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric", "lmax", "ef", "limit", "max_steps"),
-)
-def _search_kernel(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, queries,
-                   *, metric, lmax, ef, limit, max_steps):
+def _search_impl(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, queries,
+                 *, metric, lmax, ef, limit, max_steps):
+    """Traceable core of the batched beam search (also reused per-shard
+    inside ``parallel.hnsw_mesh``'s shard_map)."""
     n = x.shape[0]
     m0 = a0.shape[1]
     words = (n + 31) // 32
@@ -202,6 +200,10 @@ def _search_kernel(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, q
         return top_id, jnp.where(top_id >= 0, raw, jnp.inf), top_d
 
     return jax.vmap(one)(queries)
+
+
+_search_kernel = functools.partial(jax.jit, static_argnames=(
+    "metric", "lmax", "ef", "limit", "max_steps"))(_search_impl)
 
 
 def search(host, queries: np.ndarray, limit: int) -> list:
