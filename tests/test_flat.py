@@ -22,6 +22,14 @@ def oracle(pairs, query, metric, limit):
     return [(id, raw) for _, id, raw in hits[:limit]]
 
 
+def vt_collection_compressed():
+    import vettore_tpu as vt
+
+    col = vt.Collection(dimensions=2, metric="cosine", compressed=True)
+    col.put({"id": "a", "vector": [1.0, 0.0]})
+    return col
+
+
 def make_pairs(n=37, dims=4):
     pairs = []
     for i in range(n):
@@ -172,6 +180,32 @@ class TestFusedPallasScan:
             assert [h[0] for h in fused[b]] == [h[0] for h in xla_hits]
             for (_, fr), (_, xr) in zip(fused[b], xla_hits):
                 assert abs(fr - xr) <= 1e-5 * max(1.0, abs(xr))
+
+    def test_bf16_storage_mode(self):
+        rng = np.random.default_rng(23)
+        n, d = 1200, 32
+        data = rng.normal(size=(n, d)).astype(np.float32)
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        exact = FlatIndex("cosine")
+        exact.put_many((f"doc-{i:05d}", data[i]) for i in range(n))
+        fast = FlatIndex("cosine", storage="bf16")
+        fast.put_many((f"doc-{i:05d}", data[i]) for i in range(n))
+        queries = data[[7, 300, 900]]
+        got = fast.search_batch(queries, 10)
+        truth = exact.search_batch(queries, 10)
+        for g, t in zip(got, truth):
+            # approximate mode: top hit identical, high overlap, raws ~1e-2
+            assert g[0][0] == t[0][0]
+            assert len({x[0] for x in g} & {x[0] for x in t}) >= 8
+            assert abs(g[0][1] - t[0][1]) < 2e-2
+        with pytest.raises(errors.InvalidFlatOptions):
+            FlatIndex("cosine", storage="fp4")
+
+    def test_compressed_collection_uses_bf16(self):
+        col = vt_collection_compressed()
+        assert col.index.storage == "bf16"
+        res = col.search([1.0, 0.0], limit=1)
+        assert res[0].id == "a"
 
     def test_fused_overflow_falls_back(self):
         F32_MAX = 3.4028234663852886e38

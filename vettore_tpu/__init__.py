@@ -40,7 +40,7 @@ if not _os.environ.get("VETTORE_NO_COMPILE_CACHE"):
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
-from . import distance, errors, multi_vector, muvera
+from . import distance, errors, multi_vector, muvera, observability
 from .collection import Collection, load_snapshot
 from .compat import DB
 from .embedding import Embedding, Result
@@ -70,6 +70,7 @@ __all__ = [
     "distance",
     "multi_vector",
     "muvera",
+    "observability",
     "errors",
     "__version__",
 ]

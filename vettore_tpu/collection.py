@@ -267,7 +267,7 @@ class Collection:
         self.compressed = compressed
 
         self._stats = StatsRegistry()
-        self._index = self._make_index(index, metric, self.index_options)
+        self._index = self._make_index(index, metric, self.index_options, compressed)
         self._store = self._make_store(store, self._config())
         self._write_lock = threading.RLock()
         self._version = 0
@@ -279,9 +279,13 @@ class Collection:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _make_index(index, metric, index_options):
+    def _make_index(index, metric, index_options, compressed=False):
         if index == "flat":
-            return FlatIndex(metric, index_options or None)
+            # the reference's `compressed` trades CPU for ETS memory; the
+            # TPU-native analog stores the device block in bf16 (half HBM,
+            # native MXU pass)
+            return FlatIndex(metric, index_options or None,
+                             storage="bf16" if compressed else "f32")
         if index == "hnsw":
             from .index.hnsw import HnswIndex
 
@@ -395,6 +399,50 @@ class Collection:
             metadata=emb.metadata,
         )
 
+    def _prepare_batch(self, items) -> list:
+        """Batch insert preparation. Large homogeneous batches (plain
+        single-vector records) take a vectorized path — one matrix validate /
+        normalize / sign-pack instead of per-record Python work — which is
+        what makes million-row ingest tractable."""
+        if len(items) < 256:
+            return [self._prepare_one(i) for i in items]
+        simple = []
+        for item in items:
+            if isinstance(item, Embedding):
+                if item.vectors is not None or item.vector is None:
+                    return [self._prepare_one(i) for i in items]
+                id = item.id if isinstance(item.id, str) and item.id else (
+                    item.value if isinstance(item.value, str) and item.value else None
+                )
+                if id is None:
+                    raise E.MissingId("embedding needs an id or a non-empty string value")
+                simple.append((id, item.value if item.value is not None else id,
+                               item.vector, item.metadata))
+            else:
+                if "vectors" in item or "vector" not in item:
+                    return [self._prepare_one(i) for i in items]
+                id = item.get("id") or item.get("value")
+                if not isinstance(id, str) or not id:
+                    raise E.MissingId("embedding needs an id or a non-empty string value")
+                simple.append((id, item.get("value", id), item["vector"],
+                               item.get("metadata")))
+        try:
+            matrix = np.asarray([row[2] for row in simple], dtype=np.float64)
+        except (TypeError, ValueError) as exc:
+            raise E.InvalidVector("vector must be numeric") from exc
+        if matrix.ndim != 2 or matrix.shape[1] != self.dimensions:
+            raise E.DimensionMismatch("dimension mismatch")
+        if not np.isfinite(matrix).all() or (np.abs(matrix) > F32_MAX).any():
+            raise E.InvalidVector("vector contains a non-finite value")
+        normalized = normalize_rows(matrix, self.normalize)
+        packed = pack_signs_u64_rows(normalized)
+        return [
+            Embedding(id=id, value=value, vector=normalized[i],
+                      vectors=None, binary_vector=[int(w) for w in packed[i]],
+                      metadata=metadata)
+            for i, (id, value, _vec, metadata) in enumerate(simple)
+        ]
+
     def _validate_dims(self, vector):
         if not isinstance(vector, (list, tuple, np.ndarray)):
             raise E.InvalidVector("vector must be a list")
@@ -410,7 +458,7 @@ class Collection:
         items = list(items)
         if not all(isinstance(i, (dict, Embedding)) for i in items):
             raise E.InvalidEmbedding("invalid embeddings")
-        prepared = [self._prepare_one(i) for i in items]
+        prepared = self._prepare_batch(items)
         with self._write_lock:
             self.ensure_open()
             self._store.put_many(prepared)
@@ -942,7 +990,7 @@ def _restore(loaded_store, config, *, name, index, index_options, score):
     collection.index_options = dict(opts)
     collection.compressed = compressed
     collection._stats = StatsRegistry()
-    collection._index = Collection._make_index(index_kind, metric, dict(opts))
+    collection._index = Collection._make_index(index_kind, metric, dict(opts), compressed)
     collection._store = loaded_store
     collection._write_lock = threading.RLock()
     collection._version = 0

@@ -107,12 +107,18 @@ def _validate_row(vector, expected_dim):
 class FlatIndex(Index):
     """Exact scan over all stored vectors for one ranking metric."""
 
-    def __init__(self, metric: str, options=None):
+    def __init__(self, metric: str, options=None, *, storage: str = "f32"):
         if options not in (None, {}, []):
             raise InvalidFlatOptions("flat index accepts no options")
         metric = normalize_metric(metric)
         if metric not in METRICS:
             raise UnsupportedFlatMetric(metric)
+        if storage not in ("f32", "bf16"):
+            raise InvalidFlatOptions(f"unknown storage mode: {storage!r}")
+        #: "bf16" stores the device block in bfloat16 and scans with a single
+        #: native MXU pass — half the HBM, ~3-6x the matmul rate, raw values
+        #: approximate to ~1e-2. The host mirror stays f32 (canonical).
+        self.storage = storage
         self.metric = metric
         self._dim: int | None = None
         self._cap = 0
@@ -219,8 +225,11 @@ class FlatIndex(Index):
             self._host_x.astype(np.float32) ** 2, axis=1, keepdims=True, dtype=np.float32
         )
         bias = np.where(self._valid[:, None], np.float32(0.0), np.float32(np.inf))
+        device_x = jnp.asarray(self._host_x)
+        if self.storage == "bf16":
+            device_x = device_x.astype(jnp.bfloat16)
         self._device = (
-            jnp.asarray(self._host_x),
+            device_x,
             jnp.asarray(self._valid),
             jnp.asarray(lex_order),
         )

@@ -49,11 +49,13 @@ def pick_row_tile(d: int, b: int, cap: int):
 
 
 def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
-                 flag_ref, rank_scratch, *, metric, k):
+                 flag_ref, rank_scratch, *, metric, k, fast):
+    # fast mode (bf16 storage): single native MXU pass; parity mode: HIGHEST
+    # precision for f32-exact results
     dots = jnp.dot(
         x_ref[:], q_ref[:].T,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=None if fast else jax.lax.Precision.HIGHEST,
     )  # [T, B]
     nonfinite = jnp.logical_not(jnp.isfinite(dots))
     if metric in ("cosine", "inner_product", "negative_inner_product"):
@@ -93,14 +95,17 @@ def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "row_tile"))
 def pallas_tile_topk(x, xsq, bias, q, *, metric, k, row_tile=ROW_TILE):
-    """Per-tile top-k: ``x`` [N, d] (N multiple of row_tile), ``xsq``/``bias``
-    [N, 1] (bias 0 valid / +inf invalid), ``q`` [B, d]. Returns
-    ``(vals [tiles, k, B], idx [tiles, k, B], flags [tiles, 1])``."""
+    """Per-tile top-k: ``x`` [N, d] (N multiple of row_tile; f32 or bf16),
+    ``xsq``/``bias`` [N, 1] (bias 0 valid / +inf invalid), ``q`` [B, d].
+    Returns ``(vals [tiles, k, B], idx [tiles, k, B], flags [tiles, 1, B])``."""
     n, d = x.shape
     b = q.shape[0]
     tiles = n // row_tile
+    fast = x.dtype == jnp.bfloat16
     qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)  # [B, 1]
-    kernel = functools.partial(_scan_kernel, metric=metric, k=k)
+    if fast:
+        q = q.astype(jnp.bfloat16)
+    kernel = functools.partial(_scan_kernel, metric=metric, k=k, fast=fast)
     # the Mosaic TPU kernel runs interpreted on CPU backends (tests/CI)
     interpret = jax.default_backend() == "cpu"
     return pl.pallas_call(
@@ -164,7 +169,7 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k, row_tile=ROW_TILE
     if metric in ("l2", "l2_squared"):
         raw = top_rank
     else:
-        rows = x[jnp.maximum(top_idx, 0)]
+        rows = x[jnp.maximum(top_idx, 0)].astype(jnp.float32)
         dots = jnp.einsum("bkd,bd->bk", rows, q.astype(jnp.float32),
                           precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
