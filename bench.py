@@ -104,27 +104,35 @@ print(len(queries) / (time.perf_counter() - t0))
         return float(out.stdout.strip().splitlines()[-1])
 
 
+def _phase(msg):
+    import sys as _sys
+    print(f"[bench] {msg}", file=_sys.stderr, flush=True)
+
+
 def main():
     args = sys.argv[1:]
     if "--smoke" in args:
         n, d, q_count, batch = 2_000, 64, 32, 32
     elif "--scale=100k" in args:
-        n, d, q_count, batch = 100_000, 768, 128, 512
+        n, d, q_count, batch = 100_000, 768, 512, 512
     else:
-        n, d, q_count, batch = 1_000_000, 768, 128, 512
+        n, d, q_count, batch = 1_000_000, 768, 512, 512
 
     from vettore_tpu.index.flat import FlatIndex
     from vettore_tpu.index.hnsw import HnswIndex
 
+    _phase(f"corpus {n}x{d}")
     data = clustered_corpus(n, d)
     ids = [f"doc-{i:07d}" for i in range(n)]
     queries = make_queries(data, max(q_count, batch))
 
     # ---- ground truth (exact flat scan on device)
+    _phase("flat ingest")
     flat = FlatIndex("cosine")
     t0 = time.perf_counter()
     flat.put_many(zip(ids, data))
     flat_build_s = time.perf_counter() - t0
+    _phase("ground truth")
     truth = flat.search_batch(queries[:q_count], 10)
 
     # flat throughput: sustained device-resident pipeline (serving path) —
@@ -142,6 +150,7 @@ def main():
     flat_qps = batch * iters / (time.perf_counter() - t0)
 
     # ---- HNSW: bulk build + ef sweep to the recall gate
+    _phase("hnsw build")
     results = {}
     t0 = time.perf_counter()
     hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
@@ -150,6 +159,7 @@ def main():
     hnsw_build_s = time.perf_counter() - t0
 
     hnsw_qps, hnsw_recall, used_ef = None, 0.0, None
+    _phase(f"hnsw built in {hnsw_build_s:.0f}s; ef sweep")
     for ef in EF_SWEEP:
         hnsw.params["ef_search"] = ef
         hits = hnsw.search_batch(queries[:q_count], 10)
@@ -166,6 +176,7 @@ def main():
             if r >= RECALL_GATE:
                 break
 
+    _phase("cpu baseline")
     baseline_qps = cpu_single_core_qps(data, queries)
 
     gate = "pass" if hnsw_recall >= RECALL_GATE else "ef_sweep_exhausted"
@@ -183,7 +194,7 @@ def main():
             "flat_exact_qps": round(flat_qps, 1),
             "cpu_single_core_exact_qps": round(baseline_qps, 2),
             "batch": batch,
-            "corpus": f"clustered({min(1024, n)}centers,sigma0.25)",
+            "corpus": f"clustered({min(1024, n)}centers,radius0.4)",
         },
     }))
 

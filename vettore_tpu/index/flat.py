@@ -147,15 +147,56 @@ class FlatIndex(Index):
 
     def put_many(self, pairs: Iterable[Tuple[str, list]]) -> None:
         """Insert-or-replace a batch. The whole batch is validated before any
-        mutation (flat.rs:69-85)."""
+        mutation (flat.rs:69-85). Rectangular batches take a vectorized path
+        (single matrix validate + bulk slot assignment) — the row loop only
+        handles ragged/replacing edge cases."""
+        pairs = list(pairs)
+        if not pairs:
+            return
+        ids = [str(id) for id, _ in pairs]
+        matrix = None
+        try:
+            with np.errstate(over="ignore"):
+                matrix = np.stack([np.asarray(v, dtype=np.float32) for _, v in pairs])
+        except (TypeError, ValueError):
+            matrix = None
+        if (
+            matrix is not None
+            and matrix.ndim == 2
+            and matrix.shape[1] > 0
+            and len(set(ids)) == len(ids)
+        ):
+            expected = self._dim if self._dim is not None else matrix.shape[1]
+            if matrix.shape[1] != expected:
+                raise DimensionMismatch("dimension mismatch")
+            with np.errstate(invalid="ignore"):
+                if not np.isfinite(matrix).all():
+                    raise InvalidVector("vector contains a non-finite value")
+            new_ids = [id for id in ids if id not in self._slot_of]
+            self._reserve(len(self._slot_of) + len(new_ids), expected)
+            slots = np.empty(len(ids), dtype=np.int64)
+            for i, id in enumerate(ids):
+                slot = self._slot_of.get(id)
+                if slot is None:
+                    slot = self._free.pop()
+                    self._slot_of[id] = slot
+                    self._ids[slot] = id
+                slots[i] = slot
+            self._host_x[slots] = matrix
+            self._valid[slots] = True
+            if self._dim is None:
+                self._dim = expected
+            self._dirty = True
+            return
+
+        # slow path: ragged rows / duplicate ids within the batch (replace
+        # semantics: last occurrence wins) / precise per-row errors
         batch = [(str(id), _to_f64_array(v)) for id, v in pairs]
         expected = self._dim
         if expected is None and batch:
             expected = len(batch[0][1])
         for _, v in batch:
             _validate_row(v, expected)
-        if not batch:
-            return
         new_count = sum(1 for id, _ in batch if id not in self._slot_of)
         self._reserve(len(self._slot_of) + new_count, expected)
         for id, v in batch:

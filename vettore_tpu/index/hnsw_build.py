@@ -208,14 +208,20 @@ def _greedy_upper(x, up_adj, up_index, q, g, start, enabled, layer, metric):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "efc", "m", "m0", "lmax", "beam_steps"),
+    static_argnames=("metric", "efc", "m", "m0", "lmax", "lmax_wave", "beam_steps"),
     donate_argnums=(1, 2),
 )
 def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
-               start, *, metric, efc, m, m0, lmax, beam_steps):
+               start, *, metric, efc, m, m0, lmax, lmax_wave, beam_steps):
     """Inserts one wave: batched construct-search + forward edges + reciprocal
     prune. ``a0`` [n+1, m0] and ``up_adj`` [cap_up+1, max(lmax,1), m] carry a
-    trailing trash row. Returns updated (a0, up_adj)."""
+    trailing trash row. Returns updated (a0, up_adj).
+
+    ``lmax`` is the global top layer (descent must traverse it); ``lmax_wave``
+    is the highest level of any node IN this wave — selection and reciprocal
+    work only runs for layers <= lmax_wave, which skips most upper-layer work
+    for most waves (insertion order is level-descending, so late waves are
+    all level 0)."""
     n = x.shape[0]
     words = (n + 31) // 32
     B = wave_slots.shape[0]
@@ -248,10 +254,15 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
         g = jnp.where(has_graph, entry_slot, 0)
 
         deg_max = max(m, m0)
-        sel_ids = jnp.full((lmax + 1, deg_max), -1, jnp.int32)
-        sel_d = jnp.full((lmax + 1, deg_max), jnp.inf, jnp.float32)
+        sel_ids = jnp.full((lmax_wave + 1, deg_max), -1, jnp.int32)
+        sel_d = jnp.full((lmax_wave + 1, deg_max), jnp.inf, jnp.float32)
 
-        for l in range(lmax, -1, -1):
+        # layers above every wave node's level: pure greedy descent
+        for l in range(lmax, lmax_wave, -1):
+            g = _greedy_upper(x, up_adj, up_index, q, g, start,
+                              has_graph & (l <= entry_level), l, metric)
+
+        for l in range(lmax_wave, -1, -1):
             deg = m0 if l == 0 else m
             in_graph_layer = has_graph & (l <= entry_level)
             descend = in_graph_layer & (l > lv)
@@ -296,12 +307,12 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
         return sel_ids, sel_d
 
     sel_ids, sel_d = jax.vmap(search_one)(wave_slots, wave_mask, peer_rank)
-    # sel_ids: [B, lmax+1, deg_max]
+    # sel_ids: [B, lmax_wave+1, deg_max]
 
     # ---- forward edges
     safe_slots = jnp.where(wave_mask, wave_slots, n)  # trash row n
     a0 = a0.at[safe_slots].set(sel_ids[:, 0, :m0])
-    for l in range(1, lmax + 1):
+    for l in range(1, lmax_wave + 1):
         rows = jnp.where(
             wave_mask & (up_index[wave_slots] >= 0) & (levels[wave_slots] >= l),
             up_index[wave_slots],
@@ -310,7 +321,7 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
         up_adj = up_adj.at[rows, l - 1].set(sel_ids[:, l, :m])
 
     # ---- reciprocal edges + prune, one segment program per layer
-    for l in range(0, lmax + 1):
+    for l in range(0, lmax_wave + 1):
         deg = m0 if l == 0 else m
         src = jnp.repeat(wave_slots, deg)
         src_ok = jnp.repeat(wave_mask, deg)
@@ -449,10 +460,14 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
         slots[:size] = np.arange(start, start + size, dtype=np.int32)
         mask = np.zeros(wave, dtype=bool)
         mask[:size] = True
+        # insertion order is level-descending, so the wave's top level is its
+        # first member's level; selection/reciprocal work is bounded by it
+        lmax_wave = int(levels[start])
         a0, up_adj = _wave_step(
             xd, a0, up_adj, up_index_d, lex_d, levels_d,
             jnp.asarray(slots), jnp.asarray(mask), jnp.int32(start),
-            metric=metric, efc=efc, m=m, m0=m0, lmax=lmax, beam_steps=beam_steps,
+            metric=metric, efc=efc, m=m, m0=m0, lmax=lmax, lmax_wave=lmax_wave,
+            beam_steps=beam_steps,
         )
 
     return BulkGraph(

@@ -26,6 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 _CHUNK = 512
+#: beam entries expanded per iteration (sequential-depth vs redundant-work
+#: trade; widening only adds exploration at a given ef)
+EXPAND_W = 8
 
 
 def _rank_rows(rows, q, metric):
@@ -135,7 +138,12 @@ def _search_impl(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, que
         for layer in range(lmax, 0, -1):
             g = greedy(layer, g, layer <= entry_level)
 
-        # ---- layer-0 beam (hnsw.rs:375-434)
+        # ---- layer-0 beam (hnsw.rs:375-434), widened: EXPAND_W best
+        # unexpanded entries expand per iteration. Expanding beyond the
+        # strict one-at-a-time frontier only ADDS exploration (recall can
+        # only improve at the same ef) and cuts the sequential iteration
+        # count ~W-fold — the dominant latency term for big/tight graphs.
+        W = EXPAND_W
         beam_d = jnp.full(ef, jnp.inf, jnp.float32)
         beam_id = jnp.full(ef, -1, jnp.int32)
         beam_exp = jnp.zeros(ef, bool)
@@ -153,29 +161,39 @@ def _search_impl(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, que
         def body(state):
             beam_d, beam_id, beam_exp, visited, step, _ = state
             unexp = jnp.where((~beam_exp) & (beam_id >= 0), beam_d, jnp.inf)
-            j = jnp.argmin(unexp)
+            neg_top, jpos = jax.lax.top_k(-unexp, min(W, ef))
+            top_d = -neg_top
             worst = beam_d[ef - 1]
-            done = jnp.isinf(unexp[j]) | (unexp[j] > worst)
+            # reference termination: stop when the best unexpanded entry
+            # cannot improve the result set
+            done = jnp.isinf(top_d[0]) | (top_d[0] > worst)
+            expand_ok = jnp.isfinite(top_d) & ~done
 
-            # compute the expansion unconditionally and select at the end —
-            # lax.cond here would broadcast x/a0 across the vmap batch
-            node = beam_id[j]
-            nbrs = a0[jnp.maximum(node, 0)]
-            valid = (nbrs >= 0) & ~done
+            nodes = jnp.where(expand_ok, beam_id[jpos], -1)
+            nbrs = a0[jnp.maximum(nodes, 0)].reshape(-1)  # [W * m0]
+            valid = (nbrs >= 0) & jnp.repeat(expand_ok, m0)
+            # two expanded nodes can share a neighbor: dedup within the step
+            # (the visited scatter-add trick requires unique bits)
+            skey = jnp.where(valid, nbrs, 2**31 - 1)
+            skey_sorted, order = jax.lax.sort((skey, jax.lax.iota(jnp.int32, skey.shape[0])),
+                                              num_keys=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros(1, bool), skey_sorted[1:] == skey_sorted[:-1]]
+            )
+            dup = jnp.zeros_like(dup_sorted).at[order].set(dup_sorted)
+            valid = valid & ~dup
+
             safe = jnp.maximum(nbrs, 0)
             word = safe // 32
             bit = jnp.uint32(1) << jnp.uint32(safe % 32)
             seen = (visited[word] & bit) != 0
             fresh = valid & ~seen
-            # adjacency rows are deduplicated, so each fresh bit is 0 and
-            # scatter-add over shared words equals bitwise OR
             visited = visited.at[word].add(jnp.where(fresh, bit, jnp.uint32(0)))
             nd = jnp.where(fresh, _rank_rows(x[safe], q, metric), jnp.inf)
             cat_d = jnp.concatenate([beam_d, nd])
             cat_id = jnp.concatenate([beam_id, jnp.where(fresh, nbrs, -1)])
-            cat_exp = jnp.concatenate(
-                [beam_exp.at[j].set(beam_exp[j] | ~done), jnp.zeros(m0, bool)]
-            )
+            new_exp = beam_exp.at[jpos].set(beam_exp[jpos] | expand_ok)
+            cat_exp = jnp.concatenate([new_exp, jnp.zeros(nbrs.shape[0], bool)])
             cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], 2**31 - 1)
             cat_d, _, cat_id, cat_exp = jax.lax.sort(
                 (cat_d, cat_lex, cat_id, cat_exp), num_keys=2
@@ -222,6 +240,13 @@ def search(host, queries: np.ndarray, limit: int) -> list:
     queries = np.asarray(queries, dtype=np.float32)
     for start in range(0, queries.shape[0], _CHUNK):
         chunk = queries[start : start + _CHUNK]
+        real = chunk.shape[0]
+        if real < _CHUNK and queries.shape[0] > _CHUNK:
+            # pad partial chunks so every call shares ONE compiled shape —
+            # kernel compiles cost minutes on remote-compile backends
+            chunk = np.concatenate(
+                [chunk, np.zeros((_CHUNK - real, chunk.shape[1]), np.float32)]
+            )
         ids, raws, _dists = jax.device_get(
             _search_kernel(
                 graph.x, graph.a0, graph.up_index, graph.up_adj, graph.lex_rank,
@@ -230,6 +255,7 @@ def search(host, queries: np.ndarray, limit: int) -> list:
                 max_steps=max_steps,
             )
         )
+        ids, raws = ids[:real], raws[:real]
         for row_ids, row_raws in zip(ids, raws):
             hits = []
             for slot, raw in zip(row_ids, row_raws):
