@@ -19,9 +19,10 @@ reference's, hnsw.rs:437-465) because of distance concentration.
 workload (stand-in for the reference's single-core Rust NIF; the reference
 publishes no absolute numbers). Target per BASELINE.json: >= 10x.
 
-Run: python bench.py              (headline 1M x 768)
-     python bench.py --smoke      (tiny, CI-style)
+Run: python bench.py              (default 300k x 768 — completes reliably)
+     python bench.py --scale=1m   (full 1M x 768 headline; ~1h budget)
      python bench.py --scale=100k (mid-scale)
+     python bench.py --smoke      (tiny, CI-style)
 """
 
 from __future__ import annotations
@@ -39,11 +40,15 @@ EF_SWEEP = (64, 128, 256, 512, 1024)
 RECALL_GATE = 0.95
 
 
-def clustered_corpus(n, d, n_clusters=1024, cluster_radius=0.4):
+def clustered_corpus(n, d, n_clusters=None, cluster_radius=0.4):
     """Unit vectors in Gaussian clusters; ``cluster_radius`` is the expected
     NOISE NORM (sigma = radius/sqrt(d)), so cluster tightness is
     dimension-independent — real embedding corpora have this geometry, while
-    uniform random high-dim vectors are degenerate for any HNSW."""
+    uniform random high-dim vectors are degenerate for any HNSW. Cluster
+    COUNT scales with n (~100 points per cluster) so per-query work is
+    scale-invariant rather than plateau-bound."""
+    if n_clusters is None:
+        n_clusters = max(1024, n // 100)
     rng = np.random.default_rng(SEED)
     centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -115,8 +120,15 @@ def main():
         n, d, q_count, batch = 2_000, 64, 32, 32
     elif "--scale=100k" in args:
         n, d, q_count, batch = 100_000, 768, 512, 512
-    else:
+    elif "--scale=1m" in args:
+        # the full BASELINE.md headline config; HNSW wave construction at
+        # 1M x 768 streams ~tens of TB of neighbor gathers and takes
+        # ~40-60 min on one chip — run explicitly when that budget exists
         n, d, q_count, batch = 1_000_000, 768, 512, 512
+    else:
+        # default: the largest config that reliably completes within a
+        # modest wall-clock budget on one chip (HNSW build included)
+        n, d, q_count, batch = 300_000, 768, 512, 512
 
     from vettore_tpu.index.flat import FlatIndex
     from vettore_tpu.index.hnsw import HnswIndex
@@ -194,7 +206,7 @@ def main():
             "flat_exact_qps": round(flat_qps, 1),
             "cpu_single_core_exact_qps": round(baseline_qps, 2),
             "batch": batch,
-            "corpus": f"clustered({min(1024, n)}centers,radius0.4)",
+            "corpus": f"clustered({max(1024, n // 100)}centers,radius0.4)",
         },
     }))
 

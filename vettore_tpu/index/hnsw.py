@@ -446,13 +446,23 @@ class HnswIndex(Index):
             self._device_version = self._version
         graph = self._device
         ef = min(max(self.params["ef_search"], limit), graph.n)
-        ids, raws, _dists = hnsw_device._search_kernel(
-            graph.x, graph.a0, graph.up_index, graph.up_adj, graph.lex_rank,
-            graph.entry_slot, graph.entry_level, queries_device,
-            metric=graph.metric, lmax=graph.lmax, ef=ef,
-            limit=min(limit, graph.n), max_steps=graph.n + ef,
-        )
-        return ids, raws
+        chunk = hnsw_device._chunk_for(graph.n)
+        outs = []
+        for start in range(0, queries_device.shape[0], chunk):
+            ids, raws, _dists = hnsw_device._search_kernel(
+                graph.x, graph.a0, graph.up_index, graph.up_adj, graph.lex_rank,
+                graph.entry_slot, graph.entry_level,
+                queries_device[start : start + chunk],
+                metric=graph.metric, lmax=graph.lmax, ef=ef,
+                limit=min(limit, graph.n), max_steps=graph.n + ef,
+            )
+            outs.append((ids, raws))
+        if len(outs) == 1:
+            return outs[0]
+        import jax.numpy as jnp
+
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
 
     def _use_device(self) -> bool:
         # bulk graphs only exist on device; otherwise device beam search pays

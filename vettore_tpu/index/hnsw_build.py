@@ -470,6 +470,10 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
             beam_steps=beam_steps,
         )
 
+    # waves dispatch asynchronously; block here so build time is honest and
+    # later searches don't silently absorb the construction queue
+    jax.block_until_ready((a0, up_adj))
+
     return BulkGraph(
         ids=ids_sorted, n=n, m=m, m0=m0, lmax=lmax, metric=metric,
         x=xd, a0=a0[:n], up_index=up_index_d, up_adj=up_adj[:cap_up] if cap_up else up_adj[:1],

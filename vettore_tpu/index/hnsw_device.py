@@ -25,10 +25,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_CHUNK = 512
 #: beam entries expanded per iteration (sequential-depth vs redundant-work
 #: trade; widening only adds exploration at a given ef)
 EXPAND_W = 8
+
+
+def _chunk_for(n: int) -> int:
+    """Query-chunk size per graph size. Compile time of the vmapped beam
+    kernel grows pathologically past ~[256, big-graph] (the [B, n/32]
+    visited carry seems to cross a compiler threshold); 128-query chunks
+    compile in seconds at 1M rows and keep the device busy."""
+    return 512 if n <= 2**18 else 128
 
 
 def _rank_rows(rows, q, metric):
@@ -238,14 +245,15 @@ def search(host, queries: np.ndarray, limit: int) -> list:
 
     out = []
     queries = np.asarray(queries, dtype=np.float32)
-    for start in range(0, queries.shape[0], _CHUNK):
-        chunk = queries[start : start + _CHUNK]
+    chunk_size = _chunk_for(graph.n)
+    for start in range(0, queries.shape[0], chunk_size):
+        chunk = queries[start : start + chunk_size]
         real = chunk.shape[0]
-        if real < _CHUNK and queries.shape[0] > _CHUNK:
+        if real < chunk_size and queries.shape[0] > chunk_size:
             # pad partial chunks so every call shares ONE compiled shape —
             # kernel compiles cost minutes on remote-compile backends
             chunk = np.concatenate(
-                [chunk, np.zeros((_CHUNK - real, chunk.shape[1]), np.float32)]
+                [chunk, np.zeros((chunk_size - real, chunk.shape[1]), np.float32)]
             )
         ids, raws, _dists = jax.device_get(
             _search_kernel(

@@ -11,13 +11,11 @@ first) so XOR + ``lax.population_count`` runs on the VPU; see
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import DimensionMismatch, InvalidVector
+from ..errors import InvalidVector
 from .distance import validate_vector
 
 U64_MAX = 18_446_744_073_709_551_615
