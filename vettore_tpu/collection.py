@@ -740,6 +740,8 @@ class Collection:
         _reject_extra(extra)
         _validate_limit(limit)
         if generators is None:
+            # collection.ex:513-514: hnsw collections default to
+            # [:hnsw, :quantized], everything else to [:funnel, :quantized]
             generators = (
                 ["hnsw", "quantized"] if self.index_kind == "hnsw" else ["funnel", "quantized"]
             )

@@ -48,8 +48,8 @@ def pick_row_tile(d: int, b: int, cap: int):
     return None
 
 
-def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
-                 flag_ref, rank_scratch, *, metric, k, fast):
+def _scan_kernel(x_ref, xsq_ref, bias_ref, lex_ref, q_ref, qsq_ref, vals_ref,
+                 idx_ref, flag_ref, rank_scratch, *, metric, k, fast):
     # fast mode (bf16 storage): single native MXU pass; parity mode: HIGHEST
     # precision for f32-exact results
     dots = jnp.dot(
@@ -57,13 +57,16 @@ def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
         preferred_element_type=jnp.float32,
         precision=None if fast else jax.lax.Precision.HIGHEST,
     )  # [T, B]
-    nonfinite = jnp.logical_not(jnp.isfinite(dots))
     if metric in ("cosine", "inner_product", "negative_inner_product"):
         # cosine rank = 1 - dot (offset applied at merge); inner_product rank
         # = -raw = -dot; negative_inner_product raw = -dot, rank = raw = -dot
         rank = -dots
     else:  # l2 / l2_squared: squared distance (monotonic in the true rank)
         rank = xsq_ref[:] - 2.0 * dots + qsq_ref[:].reshape(1, -1)
+    # overflow must be detected on the FULL rank expression (xsq - 2*dots +
+    # qsq can overflow while dots stays finite; distances.rs:59-98 recovers
+    # per-pair in f64), before the bias add masks anything
+    nonfinite = jnp.logical_not(jnp.isfinite(rank))
     # +inf bias masks invalid rows; sanitize non-finite scores so they cannot
     # poison the ordering (overflow is reported via flag_ref instead)
     rank = rank + bias_ref[:]
@@ -76,6 +79,9 @@ def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
 
     t = rank.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    # Mosaic's argmin lowers only for f32; lex ranks are exact in f32 below
+    # 2^24 rows (16.7M), far above a single chip's capacity
+    lex = lex_ref[:].astype(jnp.float32)  # [T, 1] lex rank, deterministic ties
     # single VMEM-resident score block; a carried value with an unrolled loop
     # would keep k live copies and blow the scoped-vmem budget
     rank_scratch[:] = rank
@@ -83,7 +89,12 @@ def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
     def take(j, _):
         rank_state = rank_scratch[:]
         best = jnp.min(rank_state, axis=0)  # [B]
-        best_row = jnp.argmin(rank_state, axis=0).astype(jnp.int32)
+        # tie-break equal-rank rows by lex rank (flat.rs:34-40 orders by
+        # (rank, id)); plain argmin would pick the lowest row index and can
+        # drop lex-smaller ids when >k ties share one tile
+        is_best = rank_state == best[None, :]
+        lex_key = jnp.where(is_best, lex, jnp.inf)
+        best_row = jnp.argmin(lex_key, axis=0).astype(jnp.int32)
         vals_ref[0, j, :] = best
         idx_ref[0, j, :] = best_row
         hit = row_ids == best_row[None, :]
@@ -94,9 +105,10 @@ def _scan_kernel(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, vals_ref, idx_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "row_tile"))
-def pallas_tile_topk(x, xsq, bias, q, *, metric, k, row_tile=ROW_TILE):
+def pallas_tile_topk(x, xsq, bias, lex, q, *, metric, k, row_tile=ROW_TILE):
     """Per-tile top-k: ``x`` [N, d] (N multiple of row_tile; f32 or bf16),
-    ``xsq``/``bias`` [N, 1] (bias 0 valid / +inf invalid), ``q`` [B, d].
+    ``xsq``/``bias`` [N, 1] (bias 0 valid / +inf invalid), ``lex`` [N, 1]
+    int32 lex ranks, ``q`` [B, d].
     Returns ``(vals [tiles, k, B], idx [tiles, k, B], flags [tiles, 1, B])``."""
     n, d = x.shape
     b = q.shape[0]
@@ -113,6 +125,7 @@ def pallas_tile_topk(x, xsq, bias, q, *, metric, k, row_tile=ROW_TILE):
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((b, d), lambda i: (0, 0)),
@@ -135,7 +148,7 @@ def pallas_tile_topk(x, xsq, bias, q, *, metric, k, row_tile=ROW_TILE):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, xsq, bias, q, qsq)
+    )(x, xsq, bias, lex, q, qsq)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "row_tile"))
@@ -145,8 +158,9 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k, row_tile=ROW_TILE
     Returns ``(slots [B, k], raws [B, k], ranks [B, k], all_finite)``, the
     same contract as the XLA ``_search_kernel_batch`` path.
     """
-    vals, idx, flags = pallas_tile_topk(x, xsq, bias, q, metric=metric, k=k,
-                                        row_tile=row_tile)
+    lex_col = lex_rank.astype(jnp.int32).reshape(-1, 1)
+    vals, idx, flags = pallas_tile_topk(x, xsq, bias, lex_col, q,
+                                        metric=metric, k=k, row_tile=row_tile)
     tiles = vals.shape[0]
     b = q.shape[0]
     offsets = (jnp.arange(tiles, dtype=jnp.int32) * row_tile)[:, None, None]

@@ -152,8 +152,12 @@ def _sharded_search(mesh, x, a0, upi, upa, lex, rows, entries, queries, *,
             metric=metric, lmax=lmax, ef=ef, limit=k,
             max_steps=x_b.shape[1] + ef,
         )  # [b, k]
-        ok = slots >= 0
-        grows = jnp.where(ok, rows_b[0][jnp.maximum(slots, 0)], -1)
+        # exclude pad nodes (row -1, e.g. the '__pad__' filler on empty
+        # shards) BEFORE the merge — with finite distances they would
+        # otherwise displace real candidates inside the top-k cut
+        grows_raw = rows_b[0][jnp.maximum(slots, 0)]
+        ok = (slots >= 0) & (grows_raw >= 0)
+        grows = jnp.where(ok, grows_raw, -1)
         glex = jnp.where(ok, lex_b[0][jnp.maximum(slots, 0)], 2**31 - 1)
         dists = jnp.where(ok, dists, jnp.inf)
         # gather per-shard candidates over ICI and merge exactly

@@ -40,6 +40,10 @@ def _records_payload(records: list[Embedding]):
     vectors = np.zeros((n, dims), dtype=np.float32)
     mv_counts = np.zeros(n, dtype=np.int64)
     mv_chunks = []
+    # per-record presence mask: a file-level "has binary" flag would
+    # rehydrate None rows as all-zero vectors and change quantized-search
+    # candidates after a round-trip
+    binary_mask = np.zeros(n, dtype=np.uint8)
     binary_words = None
     for i, r in enumerate(records):
         vectors[i] = np.asarray(r.vector, dtype=np.float32)
@@ -49,19 +53,24 @@ def _records_payload(records: list[Embedding]):
         if r.binary_vector is not None:
             if binary_words is None:
                 binary_words = np.zeros((n, len(r.binary_vector)), dtype=np.uint64)
+            elif len(r.binary_vector) != binary_words.shape[1]:
+                raise InvalidSnapshot(
+                    f"record {r.id!r} binary_vector has {len(r.binary_vector)} "
+                    f"words, expected {binary_words.shape[1]}"
+                )
             binary_words[i] = np.array([np.uint64(w) for w in r.binary_vector], dtype=np.uint64)
+            binary_mask[i] = 1
     mv_flat = (
         np.concatenate(mv_chunks, axis=0) if mv_chunks else np.zeros((0, dims), dtype=np.float32)
     )
     if binary_words is None:
         binary_words = np.zeros((n, 0), dtype=np.uint64)
-    return ids, values_json, metadata_json, vectors, mv_counts, mv_flat, binary_words
+    return ids, values_json, metadata_json, vectors, mv_counts, mv_flat, binary_words, binary_mask
 
 
 def save_snapshot(path: str, config: dict, records: list[Embedding]) -> None:
-    ids, values_json, metadata_json, vectors, mv_counts, mv_flat, binary_words = (
-        _records_payload(records)
-    )
+    (ids, values_json, metadata_json, vectors, mv_counts, mv_flat,
+     binary_words, binary_mask) = _records_payload(records)
     try:
         config_json = json.dumps(config)
     except (TypeError, ValueError) as exc:
@@ -78,6 +87,7 @@ def save_snapshot(path: str, config: dict, records: list[Embedding]) -> None:
         mv_counts=mv_counts,
         mv_flat=mv_flat,
         binary_words=binary_words,
+        binary_mask=binary_mask,
         object_count=np.int64(len(records)),
     )
     payload = buf.getvalue()
@@ -124,6 +134,14 @@ def load_snapshot(path: str):
         mv_counts = archive["mv_counts"]
         mv_flat = archive["mv_flat"]
         binary_words = archive["binary_words"]
+        if "binary_mask" in archive.files:
+            binary_mask = archive["binary_mask"]
+        else:  # legacy snapshot without per-record mask: presence is per-file
+            binary_mask = np.full(
+                binary_words.shape[0],
+                1 if binary_words.shape[1] > 0 else 0,
+                dtype=np.uint8,
+            )
         count = int(archive["object_count"])
     except (KeyError, ValueError, json.JSONDecodeError) as exc:
         raise InvalidSnapshot(f"corrupt snapshot payload: {exc}") from exc
@@ -137,6 +155,7 @@ def load_snapshot(path: str):
         and mv_counts.shape[0] == n
         and int(mv_counts.sum()) == mv_flat.shape[0]
         and binary_words.shape[0] == n
+        and binary_mask.shape[0] == n
     ):
         raise InvalidSnapshot("snapshot object count mismatch")
     if not isinstance(config, dict):
@@ -144,7 +163,6 @@ def load_snapshot(path: str):
 
     records = []
     offset = 0
-    has_binary = binary_words.shape[1] > 0
     for i in range(n):
         t = int(mv_counts[i])
         mv = None
@@ -157,7 +175,9 @@ def load_snapshot(path: str):
                 value=values[i],
                 vector=[float(v) for v in vectors[i]],
                 vectors=mv,
-                binary_vector=[int(w) for w in binary_words[i]] if has_binary else None,
+                binary_vector=(
+                    [int(w) for w in binary_words[i]] if binary_mask[i] else None
+                ),
                 metadata=metadata[i],
             )
         )
