@@ -84,6 +84,18 @@ def _pow2_at_least(n: int, floor: int = 8) -> int:
     return max(floor, 1 << max(0, math.ceil(math.log2(max(n, 1)))))
 
 
+_ROW_TILE = 1024
+
+
+def _cap_at_least(n: int, floor: int = 8) -> int:
+    """Scan-cache capacity: pow2 below one row tile, then the next tile
+    multiple — <0.1% padded rows instead of up to 100% (the reference scans
+    exactly n records, collection.ex:699-713)."""
+    if n <= _ROW_TILE:
+        return _pow2_at_least(n, floor)
+    return -(-n // _ROW_TILE) * _ROW_TILE
+
+
 class _VectorCache:
     """Device-resident mirror of all stored primary vectors for adaptive
     scans (funnel/quantized/hybrid/exact-rerank). Rebuilt from the canonical
@@ -105,26 +117,51 @@ class _VectorCache:
         self.ids = ids
         self.slot_of = {id: i for i, id in enumerate(ids)}
         self.by_id = {id: r for id, r in zip(ids, records)}
-        self.cap = _pow2_at_least(self.n)
+        self.cap = _cap_at_least(self.n)
         self.dimensions = dimensions
         self._x = None
+        self._host_mat = None
         self._bits = None
         self._mv = None
+
+    def _stack_vectors(self) -> np.ndarray:
+        """One [n, d] f32 matrix of all primary vectors, validated in bulk —
+        the rebuild must be O(n) numpy work, not O(n) Python (a fresh cache is
+        paid on the first adaptive scan after any mutation)."""
+        if self._host_mat is not None:
+            return self._host_mat
+        rows = [r.vector for r in self.records]
+        if any(v is None for v in rows):
+            raise E.InvalidVector("embedding has no vector")
+        d = self.dimensions
+        if all(isinstance(v, np.ndarray) and v.shape == (d,) for v in rows):
+            # the insert pipeline stores vectors as numpy rows; concatenate
+            # is ~10x faster than asarray on a list of 1M array objects
+            block = np.concatenate(rows, dtype=np.float32).reshape(self.n, d)
+        else:
+            try:
+                block = np.asarray(rows, dtype=np.float32)
+            except (TypeError, ValueError):
+                block = None
+        if block is None or block.ndim != 2 or block.shape[1] != self.dimensions:
+            # ragged / wrong-width / non-numeric: re-walk for the precise error
+            for v in rows:
+                if len(v) != self.dimensions:
+                    raise E.DimensionMismatch("dimension mismatch")
+                np.asarray(v, dtype=np.float32)
+            raise E.InvalidVector("vector must be numeric")
+        with np.errstate(invalid="ignore"):
+            if not np.isfinite(block).all():
+                raise E.InvalidVector("vector contains a non-finite value")
+        self._host_mat = block
+        return block
 
     def vectors(self):
         if self._x is not None:
             return self._x
         mat = np.zeros((self.cap, self.dimensions), dtype=np.float32)
-        for i, r in enumerate(self.records):
-            v = r.vector
-            if v is None:
-                raise E.InvalidVector("embedding has no vector")
-            if len(v) != self.dimensions:
-                raise E.DimensionMismatch("dimension mismatch")
-            row = np.asarray(v, dtype=np.float32)
-            if not np.isfinite(row).all():
-                raise E.InvalidVector("vector contains a non-finite value")
-            mat[i] = row
+        if self.n:
+            mat[: self.n] = self._stack_vectors()
         valid = np.zeros(self.cap, dtype=bool)
         valid[: self.n] = True
         order = np.argsort(np.array(self.ids, dtype=str), kind="stable").astype(np.int32)
@@ -145,26 +182,38 @@ class _VectorCache:
         (collection.ex:730-740)."""
         if self._bits is not None:
             return self._bits
-        width = 2 * words_for(self.dimensions)
-        out = np.zeros((self.cap, width), dtype=np.uint32)
         expected_words = words_for(self.dimensions)
-        for i, r in enumerate(self.records):
-            bv = r.binary_vector
-            if bv is not None:
-                bv_list = [int(w) for w in bv]
-                if len(bv_list) != expected_words or any(
-                    w < 0 or w > 2**64 - 1 for w in bv_list
-                ):
-                    raise E.InvalidBinaryVector("invalid binary vector")
-                out[i] = u64_words_to_u32(bv_list, self.dimensions)
-            else:
-                v = r.vector
+        width = 2 * expected_words
+        out = np.zeros((self.cap, width), dtype=np.uint32)
+        with_bv = [i for i, r in enumerate(self.records) if r.binary_vector is not None]
+        without = [i for i, r in enumerate(self.records) if r.binary_vector is None]
+        if with_bv:
+            try:
+                words = np.asarray(
+                    [self.records[i].binary_vector for i in with_bv], dtype=np.uint64
+                )
+            except (TypeError, ValueError, OverflowError) as exc:
+                raise E.InvalidBinaryVector("invalid binary vector") from exc
+            if words.ndim != 2 or words.shape[1] != expected_words:
+                raise E.InvalidBinaryVector("invalid binary vector")
+            rem = self.dimensions % 64
+            if rem:
+                words[:, -1] &= np.uint64((1 << rem) - 1)
+            block = np.empty((len(with_bv), width), dtype=np.uint32)
+            block[:, 0::2] = (words & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            block[:, 1::2] = (words >> np.uint64(32)).astype(np.uint32)
+            out[with_bv] = block
+        if without:
+            for i in without:
+                v = self.records[i].vector
                 if v is None or len(v) != self.dimensions:
                     raise E.DimensionMismatch("dimension mismatch")
-                row = np.asarray(v, dtype=np.float64)
-                if not np.isfinite(row).all():
-                    raise E.InvalidVector("vector contains a non-finite value")
-                out[i] = pack_signs_u32(row[None, :])[0]
+            sub = np.asarray(
+                [self.records[i].vector for i in without], dtype=np.float64
+            )
+            if not np.isfinite(sub).all():
+                raise E.InvalidVector("vector contains a non-finite value")
+            out[without] = pack_signs_u32(sub)
         self._bits = jnp.asarray(out)
         return self._bits
 
@@ -173,25 +222,49 @@ class _VectorCache:
         else the primary vector (collection.ex:773-777)."""
         if self._mv is not None:
             return self._mv
+        if all(not r.vectors for r in self.records):
+            # plain single-vector corpus: the token block IS the primary
+            # matrix, one stack instead of a per-record walk
+            tokens = np.zeros((self.cap, 1, self.dimensions), dtype=np.float32)
+            counts = np.zeros(self.cap, dtype=np.int32)
+            has = np.array([r.vector is not None for r in self.records], dtype=bool)
+            if has.all() and self.n:
+                tokens[: self.n, 0] = self._stack_vectors()
+                counts[: self.n] = 1
+            else:
+                for i, r in enumerate(self.records):
+                    if r.vector is None:
+                        continue
+                    if len(r.vector) != self.dimensions:
+                        raise E.DimensionMismatch("dimension mismatch")
+                    row = np.asarray(r.vector, dtype=np.float32)
+                    if not np.isfinite(row).all():
+                        raise E.InvalidMultiVector("invalid multi vector")
+                    tokens[i, 0] = row
+                    counts[i] = 1
+            self._mv = (jnp.asarray(tokens), jnp.asarray(counts))
+            return self._mv
         docs = []
         for r in self.records:
             vs = r.vectors if r.vectors else ([r.vector] if r.vector is not None else [])
-            rows = []
-            for v in vs:
-                if len(v) != self.dimensions:
-                    raise E.DimensionMismatch("dimension mismatch")
-                row = np.asarray(v, dtype=np.float32)
-                if not np.isfinite(row).all():
-                    raise E.InvalidMultiVector("invalid multi vector")
-                rows.append(row)
+            if not vs:
+                docs.append(np.zeros((0, self.dimensions), dtype=np.float32))
+                continue
+            try:
+                rows = np.asarray(vs, dtype=np.float32)
+            except (TypeError, ValueError) as exc:
+                raise E.InvalidMultiVector("invalid multi vector") from exc
+            if rows.ndim != 2 or rows.shape[1] != self.dimensions:
+                raise E.DimensionMismatch("dimension mismatch")
+            if not np.isfinite(rows).all():
+                raise E.InvalidMultiVector("invalid multi vector")
             docs.append(rows)
         t_max = _pow2_at_least(max((len(d) for d in docs), default=1), 1)
         tokens = np.zeros((self.cap, t_max, self.dimensions), dtype=np.float32)
         counts = np.zeros(self.cap, dtype=np.int32)
         for i, rows in enumerate(docs):
             counts[i] = len(rows)
-            for t, row in enumerate(rows):
-                tokens[i, t] = row
+            tokens[i, : len(rows)] = rows
         self._mv = (jnp.asarray(tokens), jnp.asarray(counts))
         return self._mv
 

@@ -35,6 +35,18 @@ from ..ops.topk import bucket_limit, topk_slots
 from .base import Index
 
 _MIN_CAP = 8
+_ROW_TILE = 1024
+
+
+def _cap_for(needed: int) -> int:
+    """Capacity for ``needed`` rows. Small blocks round to a power of two
+    (they sit below the fused-kernel threshold anyway); larger ones round up
+    to the next ``_ROW_TILE`` multiple, so a bulk-ingested block carries
+    <0.1% padding. The reference scans exactly ``n`` rows per query
+    (flat.rs:96-124); pow2 rounding scanned up to 2x phantom rows."""
+    if needed <= _ROW_TILE:
+        return max(_MIN_CAP, 1 << max(0, math.ceil(math.log2(max(needed, 1)))))
+    return -(-needed // _ROW_TILE) * _ROW_TILE
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "limit", "use_true_cosine"))
@@ -157,7 +169,15 @@ class FlatIndex(Index):
         matrix = None
         try:
             with np.errstate(over="ignore"):
-                matrix = np.stack([np.asarray(v, dtype=np.float32) for _, v in pairs])
+                rows = [v for _, v in pairs]
+                if rows and all(
+                    isinstance(v, np.ndarray) and v.ndim == 1 and v.shape == rows[0].shape
+                    for v in rows
+                ):
+                    # ~10x faster than stacking 1M separate array objects
+                    matrix = np.concatenate(rows, dtype=np.float32).reshape(len(rows), -1)
+                else:
+                    matrix = np.stack([np.asarray(v, dtype=np.float32) for v in rows])
         except (TypeError, ValueError):
             matrix = None
         if (
@@ -230,7 +250,7 @@ class FlatIndex(Index):
 
     def _reserve(self, needed: int, dim: int):
         if self._host_x is None:
-            cap = max(_MIN_CAP, 1 << max(0, math.ceil(math.log2(max(needed, 1)))))
+            cap = _cap_for(needed)
             self._cap = cap
             self._host_x = np.zeros((cap, dim), dtype=np.float32)
             self._valid = np.zeros(cap, dtype=bool)
@@ -239,7 +259,9 @@ class FlatIndex(Index):
             return
         if needed <= self._cap:
             return
-        cap = 1 << math.ceil(math.log2(needed))
+        # ~1.25x geometric growth amortizes incremental inserts; a one-shot
+        # bulk ingest into a fresh/small index still reserves near-exact-fit
+        cap = _cap_for(max(needed, self._cap + (self._cap >> 2)))
         grown_x = np.zeros((cap, self._host_x.shape[1]), dtype=np.float32)
         grown_x[: self._cap] = self._host_x
         grown_valid = np.zeros(cap, dtype=bool)

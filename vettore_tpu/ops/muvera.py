@@ -176,26 +176,42 @@ def _encode(vectors, config, mode: str) -> list:
             parts = bits @ powers  # projection 0 is the most significant bit
         else:
             parts = np.zeros(arr.shape[0], dtype=np.int64)
-        if not identity:
+        if identity:
+            values_all = arr  # [V, proj_dim]
+        else:
             signs = np.stack(
                 [_random_signs(sign_seed, rep, p, dims) for p in range(proj_dim)]
             ).astype(np.float64)  # [proj_dim, dims]
-        for vi in range(arr.shape[0]):
-            partition = int(parts[vi])
-            count_index = rep * partitions + partition
-            counts[count_index] += 1
-            count = counts[count_index]
-            base = rep * rep_size + partition * proj_dim
-            values = arr[vi] if identity else signs @ arr[vi]
-            segment = out[base : base + proj_dim]
-            current = segment.astype(np.float64)
+            values_all = arr @ signs.T  # [V, proj_dim]
+
+        # Round-based accumulation: vectors grouped by partition (stable, so
+        # input order within each partition is preserved), then round j adds
+        # the j-th member of EVERY partition at once. Per-step semantics are
+        # unchanged from the reference's sequential accumulate
+        # (muvera.rs:164-177): f64 add / running-average, f32 slot store,
+        # per-step overflow check — only the Python iteration count drops
+        # from V to max-members-per-partition.
+        order = np.argsort(parts, kind="stable")
+        parts_sorted = parts[order]
+        first = np.concatenate([[True], parts_sorted[1:] != parts_sorted[:-1]])
+        seg_start = np.maximum.accumulate(np.where(first, np.arange(parts_sorted.size), 0))
+        within = np.arange(parts_sorted.size) - seg_start  # 0-based rank in partition
+        rows = np.arange(proj_dim)
+        for j in range(int(within.max()) + 1 if within.size else 0):
+            sel = order[within == j]
+            p_sel = parts[sel]
+            bases = rep * rep_size + p_sel * proj_dim
+            gather = bases[:, None] + rows[None, :]
+            current = out[gather].astype(np.float64)
+            values = values_all[sel]
             if mode == "query":
                 nxt = current + values
-            else:  # document: running average (muvera.rs:164-177)
-                nxt = current + (values - current) / count
+            else:  # document: running average with count = j + 1
+                nxt = current + (values - current) / (j + 1)
             if not np.isfinite(nxt).all() or (np.abs(nxt) > F32_MAX).any():
                 raise EncodingOverflow("encoding overflow")
-            out[base : base + proj_dim] = nxt.astype(np.float32)
+            out[gather] = nxt.astype(np.float32)
+            counts[rep * partitions + p_sel] += 1
 
     final_dim = cfg["final_projection_dimension"]
     if final_dim is not None:
