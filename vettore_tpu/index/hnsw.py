@@ -51,12 +51,23 @@ _MAX_LEVEL = 64
 HNSW_METRICS = ("l2", "cosine", "inner_product")
 
 
+#: TPU-native extension: traversal precision. "bf16" (default) gathers and
+#: scores a bfloat16 copy during beam selection — half the HBM bytes on the
+#: latency-dominant random gathers — while final result ordering is always
+#: exact f32 (rank, id). "f32" traverses at full precision.
+TRAVERSAL_MODES = ("bf16", "f32")
+
+
 def validate_options(options: dict | None) -> dict:
     """Validates HNSW parameters (hnsw.rs:25-49, index/hnsw.ex:122-173)."""
     options = dict(options or {})
+    traversal = options.pop("traversal", "bf16")
+    if traversal not in TRAVERSAL_MODES:
+        raise InvalidHnswOptions(f"invalid traversal mode: {traversal!r}")
     for key in options:
         if key not in DEFAULT_OPTIONS:
             raise InvalidHnswOptions(f"unknown hnsw option: {key!r}")
+    options["traversal"] = traversal
     merged = {**DEFAULT_OPTIONS, **options}
     m, m0 = merged["m"], merged["m0"]
     efc, efs = merged["ef_construction"], merged["ef_search"]
@@ -104,6 +115,7 @@ class HnswIndex(Index):
             raise UnsupportedHnswMetric(metric)
         self.metric = metric
         self.params = validate_options(options)
+        self.traversal = self.params["traversal"]
         self._vectors: dict[int, np.ndarray] = {}
         self._external: dict[int, str] = {}
         self._levels: dict[int, int] = {}
@@ -444,9 +456,14 @@ class HnswIndex(Index):
         if self._device is None or self._device_version != self._version:
             self._device = hnsw_device.DeviceGraph(self) if self._bulk is None else self._bulk
             self._device_version = self._version
+        import jax.numpy as _jnp
+
         graph = self._device
         ef = min(max(self.params["ef_search"], limit), graph.n)
         chunk = hnsw_device._chunk_for(graph.n)
+        bf16 = self.traversal == "bf16"
+        xb = graph.xb if bf16 else None
+        hub_slots, hub_x = graph.hubs(_jnp.bfloat16 if bf16 else _jnp.float32)
         outs = []
         for start in range(0, queries_device.shape[0], chunk):
             ids, raws, _dists = hnsw_device._search_kernel(
@@ -454,7 +471,9 @@ class HnswIndex(Index):
                 graph.entry_slot, graph.entry_level,
                 queries_device[start : start + chunk],
                 metric=graph.metric, lmax=graph.lmax, ef=ef,
-                limit=min(limit, graph.n), max_steps=graph.n + ef,
+                limit=min(limit, graph.n),
+                max_steps=hnsw_device.step_bound(ef), xb=xb,
+                hub_slots=hub_slots, hub_x=hub_x,
             )
             outs.append((ids, raws))
         if len(outs) == 1:

@@ -38,12 +38,16 @@ _BIG32 = 2**31 - 1
 
 
 def _rank_block(rows, q, metric):
-    """rows [..., k, d] vs q [..., d] → ascending rank distances [..., k]."""
+    """rows [..., k, d] vs q [..., d] → ascending rank distances [..., k].
+    Inputs may be bf16 (selection-only traversal); accumulation is f32."""
     if metric == "l2":
+        rows = rows.astype(jnp.float32)
+        q = q.astype(jnp.float32)
         return jnp.sqrt(jnp.maximum(jnp.sum((rows - q[..., None, :]) ** 2, axis=-1), 0.0))
+    prec = None if rows.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     dots = jnp.einsum(
-        "...kd,...d->...k", rows, q,
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        "...kd,...d->...k", rows, q.astype(rows.dtype),
+        precision=prec, preferred_element_type=jnp.float32,
     )
     return 1.0 - dots if metric == "cosine" else -dots
 
@@ -125,25 +129,62 @@ class BulkGraph:
         self.entry_slot = entry_slot
         self.entry_level = entry_level
         self.levels = levels
+        self._xb = None
+        self._hubs = {}
+
+    @property
+    def xb(self):
+        """bf16 traversal copy of the vector block (lazy)."""
+        if self._xb is None:
+            self._xb = self.x.astype(jnp.bfloat16)
+        return self._xb
+
+    def hubs(self, dtype=jnp.bfloat16):
+        """(hub_slots [H] i32, hub_x [H, d]) — bulk slots are already
+        (level desc, id) ordered, so the hub set is simply the first H."""
+        from .hnsw_device import hub_count
+
+        key = jnp.dtype(dtype).name
+        if key not in self._hubs:
+            h = hub_count(self.n)
+            slots = jnp.arange(h, dtype=jnp.int32)
+            block = (self.xb if dtype == jnp.bfloat16 else self.x)[:h]
+            self._hubs[key] = (slots, block)
+        return self._hubs[key]
 
 
-def _beam_layer(x, adj_rows_fn, lex_rank, q, g, start, enabled, *, metric, ef, deg,
-                words, max_steps):
-    """Sorted-array beam over one layer (same scheme as hnsw_device). ``g`` is
-    the entry slot (must be < start, i.e. already inserted). ``enabled`` is a
-    traced flag: disabled lanes seed an empty beam and terminate immediately
-    (loops must stay mask-driven — wrapping them in ``lax.cond`` under vmap
-    batches every closed-over array)."""
+#: beam entries expanded per construct-search iteration (same widened-beam
+#: scheme as the query kernel: exploration only grows at a given ef, while
+#: sequential depth and per-step merge cost drop ~W-fold)
+BUILD_EXPAND_W = 4
+
+
+def build_step_bound(efc: int, w: int = BUILD_EXPAND_W) -> int:
+    """Bound on construct-beam iterations (~efc expansions at W per step,
+    plus exploration slack); replaces the old 4*efc+64 worst-case."""
+    return max(3 * efc // max(w, 1), 24) + 16
+
+
+def _beam_layer(xt, adj_rows_fn, q, g, start, enabled, *, metric, ef,
+                words, max_steps, expand_w=BUILD_EXPAND_W):
+    """Widened unsorted beam over one layer (same scheme as hnsw_device's
+    query kernel: selection via single-key top-k merges, bf16 gathers when
+    ``xt`` is bf16; callers re-sort candidates exactly before selection).
+    ``g`` is the entry slot (must be < start, i.e. already inserted).
+    ``enabled`` is a traced flag: disabled lanes seed an empty beam and
+    terminate immediately (loops must stay mask-driven — wrapping them in
+    ``lax.cond`` under vmap batches every closed-over array)."""
+    W = min(expand_w, ef)
     beam_d = jnp.full(ef, jnp.inf, jnp.float32)
     beam_id = jnp.full(ef, -1, jnp.int32)
     beam_exp = jnp.zeros(ef, bool)
     visited = jnp.zeros(words, jnp.uint32)
 
-    g0d = _rank_block(x[g][None, :], q, metric)[0]
+    g0d = _rank_block(xt[g][None, :], q, metric)[0]
     beam_d = beam_d.at[0].set(jnp.where(enabled, g0d, jnp.inf))
     beam_id = beam_id.at[0].set(jnp.where(enabled, g, -1))
-    visited = visited.at[g // 32].set(
-        jnp.where(enabled, jnp.uint32(1) << jnp.uint32(g % 32), jnp.uint32(0))
+    visited = visited.at[g >> 5].set(
+        jnp.where(enabled, jnp.uint32(1) << jnp.uint32(g & 31), jnp.uint32(0))
     )
 
     def cond(state):
@@ -153,30 +194,37 @@ def _beam_layer(x, adj_rows_fn, lex_rank, q, g, start, enabled, *, metric, ef, d
     def body(state):
         beam_d, beam_id, beam_exp, visited, step, _ = state
         unexp = jnp.where((~beam_exp) & (beam_id >= 0), beam_d, jnp.inf)
-        j = jnp.argmin(unexp)
-        done = jnp.isinf(unexp[j]) | (unexp[j] > beam_d[ef - 1])
+        neg_top, jpos = jax.lax.top_k(-unexp, W)
+        top_d = -neg_top
+        worst = jnp.max(beam_d)
+        done = jnp.isinf(top_d[0]) | (top_d[0] > worst)
+        expand_ok = jnp.isfinite(top_d) & ~done
 
-        # unconditional expansion + select (no lax.cond: it would broadcast
-        # the closed-over graph arrays across the vmap batch)
-        nbrs = adj_rows_fn(jnp.maximum(beam_id[j], 0))
-        valid = (nbrs >= 0) & (nbrs < start) & ~done
+        nodes = jnp.where(expand_ok, beam_id[jpos], -1)
+        nbrs = jax.vmap(adj_rows_fn)(jnp.maximum(nodes, 0)).reshape(-1)  # [W*deg]
+        valid = (nbrs >= 0) & (nbrs < start) & jnp.repeat(expand_ok, nbrs.shape[0] // W)
+        # dedup within the step (visited scatter-add requires unique bits):
+        # pairwise masking on the VPU instead of a bitonic sort
+        E = nbrs.shape[0]
+        key = jnp.where(valid, nbrs, -1)
+        iota = jax.lax.iota(jnp.int32, E)
+        dup = jnp.any((key[None, :] == key[:, None]) & (iota[None, :] < iota[:, None]),
+                      axis=1)
+        valid = valid & ~dup
+
         safe = jnp.maximum(nbrs, 0)
-        word = safe // 32
-        bit = jnp.uint32(1) << jnp.uint32(safe % 32)
+        word = safe >> 5
+        bit = jnp.uint32(1) << jnp.uint32(safe & 31)
         seen = (visited[word] & bit) != 0
         fresh = valid & ~seen
         visited = visited.at[word].add(jnp.where(fresh, bit, jnp.uint32(0)))
-        nd = jnp.where(fresh, _rank_block(x[safe], q, metric), jnp.inf)
+        nd = jnp.where(fresh, _rank_block(xt[safe], q, metric), jnp.inf)
         cat_d = jnp.concatenate([beam_d, nd])
         cat_id = jnp.concatenate([beam_id, jnp.where(fresh, nbrs, -1)])
-        cat_exp = jnp.concatenate(
-            [beam_exp.at[j].set(beam_exp[j] | ~done), jnp.zeros(nbrs.shape[0], bool)]
-        )
-        cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], _BIG32)
-        cat_d, _, cat_id, cat_exp = jax.lax.sort(
-            (cat_d, cat_lex, cat_id, cat_exp), num_keys=2
-        )
-        return cat_d[:ef], cat_id[:ef], cat_exp[:ef], visited, step + 1, done
+        new_exp = beam_exp.at[jpos].set(beam_exp[jpos] | expand_ok)
+        cat_exp = jnp.concatenate([new_exp, jnp.zeros(E, bool)])
+        neg_best, keep = jax.lax.top_k(-cat_d, ef)
+        return -neg_best, cat_id[keep], cat_exp[keep], visited, step + 1, done
 
     beam_d, beam_id, *_ = jax.lax.while_loop(
         cond, body, (beam_d, beam_id, beam_exp, visited, 0, False)
@@ -184,7 +232,7 @@ def _beam_layer(x, adj_rows_fn, lex_rank, q, g, start, enabled, *, metric, ef, d
     return beam_d, beam_id
 
 
-def _greedy_upper(x, up_adj, up_index, q, g, start, enabled, layer, metric):
+def _greedy_upper(xt, up_adj, up_index, q, g, start, enabled, layer, metric):
     """Greedy descent on one upper layer; ``enabled`` lanes iterate, others
     return ``g`` unchanged after zero iterations."""
 
@@ -196,12 +244,12 @@ def _greedy_upper(x, up_adj, up_index, q, g, start, enabled, layer, metric):
         u = up_index[g]
         row = jnp.where(u >= 0, up_adj[jnp.maximum(u, 0), layer - 1], -1)
         valid = (row >= 0) & (row < start)
-        dists = jnp.where(valid, _rank_block(x[jnp.maximum(row, 0)], q, metric), jnp.inf)
+        dists = jnp.where(valid, _rank_block(xt[jnp.maximum(row, 0)], q, metric), jnp.inf)
         j = jnp.argmin(dists)
         better = dists[j] < gd
         return jnp.where(better, row[j], g), jnp.where(better, dists[j], gd), better
 
-    gd = _rank_block(x[g][None, :], q, metric)[0]
+    gd = _rank_block(xt[g][None, :], q, metric)[0]
     g, _, _ = jax.lax.while_loop(cond, body, (g, gd, enabled))
     return g
 
@@ -209,9 +257,9 @@ def _greedy_upper(x, up_adj, up_index, q, g, start, enabled, layer, metric):
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "efc", "m", "m0", "lmax", "lmax_wave", "beam_steps"),
-    donate_argnums=(1, 2),
+    donate_argnums=(2, 3),
 )
-def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
+def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
                start, *, metric, efc, m, m0, lmax, lmax_wave, beam_steps):
     """Inserts one wave: batched construct-search + forward edges + reciprocal
     prune. ``a0`` [n+1, m0] and ``up_adj`` [cap_up+1, max(lmax,1), m] carry a
@@ -249,6 +297,7 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
     # ---- per-node construct search
     def search_one(slot, my_mask, peer_row):
         q = x[slot]
+        qt = xt[slot]
         lv = levels[slot]
         has_graph = start > 0
         g = jnp.where(has_graph, entry_slot, 0)
@@ -259,7 +308,7 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
 
         # layers above every wave node's level: pure greedy descent
         for l in range(lmax, lmax_wave, -1):
-            g = _greedy_upper(x, up_adj, up_index, q, g, start,
+            g = _greedy_upper(xt, up_adj, up_index, qt, g, start,
                               has_graph & (l <= entry_level), l, metric)
 
         for l in range(lmax_wave, -1, -1):
@@ -269,15 +318,15 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
             do_beam = in_graph_layer & (l <= lv)
 
             if l >= 1:
-                g = _greedy_upper(x, up_adj, up_index, q, g, start, descend, l, metric)
+                g = _greedy_upper(xt, up_adj, up_index, qt, g, start, descend, l, metric)
                 adj_fn = lambda node, _l=l: jnp.where(
                     up_index[node] >= 0, up_adj[jnp.maximum(up_index[node], 0), _l - 1], -1
                 )
             else:
                 adj_fn = lambda node: a0[node]
 
-            bd, bi = _beam_layer(x, adj_fn, lex_rank, q, g, start, do_beam,
-                                 metric=metric, ef=efc, deg=deg, words=words,
+            bd, bi = _beam_layer(xt, adj_fn, qt, g, start, do_beam,
+                                 metric=metric, ef=efc, words=words,
                                  max_steps=beam_steps)
 
             # merge graph beam with intra-wave peers of sufficient level
@@ -293,7 +342,7 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
             cat_lex = jnp.where(cat_id >= 0, lex_rank[jnp.maximum(cat_id, 0)], _BIG32)
             cat_d, _, cat_id = jax.lax.sort((cat_d, cat_lex, cat_id), num_keys=2)
             if HEURISTIC_SELECTION:
-                cvecs = x[jnp.maximum(cat_id, 0)]
+                cvecs = xt[jnp.maximum(cat_id, 0)]
                 P = _pairwise_rank(cvecs, metric)
                 chosen, chosen_d = _heuristic_select(cat_id, cat_d, P, deg)
             else:
@@ -371,7 +420,7 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
             csafe = jnp.maximum(cand_c, 0)
             cd = jnp.where(
                 cvalid,
-                _rank_block(x[csafe], x[jnp.minimum(rows_c, n - 1)], metric),
+                _rank_block(xt[csafe], xt[jnp.minimum(rows_c, n - 1)], metric),
                 jnp.inf,
             )
             clex = jnp.where(cvalid, lex_rank[csafe], _BIG32)
@@ -391,7 +440,7 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
             if HEURISTIC_SELECTION:
                 # valid entries stay ascending after dup-masking; infs never
                 # get kept, so no re-sort is needed before the scan
-                cvecs2 = x[jnp.maximum(cand_s, 0)]
+                cvecs2 = xt[jnp.maximum(cand_s, 0)]
                 P = _pairwise_rank(cvecs2, metric)
                 chosen, _ = _heuristic_select(cand_s, cd, P, deg)
                 return chosen
@@ -414,7 +463,7 @@ def _wave_step(x, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
     return a0, up_adj
 
 
-def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
+def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int | None = None,
                beam_steps: int | None = None) -> BulkGraph:
     """Builds a full graph from scratch on device; returns a BulkGraph."""
     vectors = np.asarray(vectors, dtype=np.float32)
@@ -445,6 +494,7 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
     cap_up = len(upper)
 
     xd = jnp.asarray(x)
+    xt = xd.astype(jnp.bfloat16)  # selection-only traversal block
     a0 = jnp.full((n + 1, m0), -1, jnp.int32)
     up_adj = jnp.full((cap_up + 1, max(lmax, 1), m), -1, jnp.int32)
     up_index_d = jnp.asarray(up_index)
@@ -452,7 +502,11 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
     levels_d = jnp.asarray(levels)
 
     if beam_steps is None:
-        beam_steps = 4 * efc + 64
+        beam_steps = build_step_bound(efc)
+    if wave is None:
+        # bigger waves amortize dispatch + per-step fixed costs; bounded by
+        # the [B, n/32] visited carry and the [B, B] intra-wave peer matrix
+        wave = 4096 if n >= 2**17 else (2048 if n >= 2**14 else 1024)
 
     for start in range(0, n, wave):
         size = min(wave, n - start)
@@ -464,7 +518,7 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int = 1024,
         # first member's level; selection/reciprocal work is bounded by it
         lmax_wave = int(levels[start])
         a0, up_adj = _wave_step(
-            xd, a0, up_adj, up_index_d, lex_d, levels_d,
+            xd, xt, a0, up_adj, up_index_d, lex_d, levels_d,
             jnp.asarray(slots), jnp.asarray(mask), jnp.int32(start),
             metric=metric, efc=efc, m=m, m0=m0, lmax=lmax, lmax_wave=lmax_wave,
             beam_steps=beam_steps,
