@@ -86,7 +86,9 @@ def _heuristic_select(cand_ids, cand_dists, P, deg):
     valid = jnp.isfinite(cand_dists) & (cand_ids >= 0)
 
     # sequential scan in ascending-distance order: mdk[i] tracks candidate
-    # i's distance to the closest KEPT neighbor so far
+    # i's distance to the closest KEPT neighbor so far. (A deg-iteration
+    # keep-event variant was tried and measured SLOWER — the per-iteration
+    # take_along_axis over [.., C, C] costs more than the extra iterations.)
     def step(j, state):
         mdk, count, kept = state
         keep = valid[..., j] & (count < deg) & (cand_dists[..., j] < mdk[..., j])
@@ -166,26 +168,41 @@ def build_step_bound(efc: int, w: int = BUILD_EXPAND_W) -> int:
 
 
 def _beam_layer(xt, adj_rows_fn, q, g, start, enabled, *, metric, ef,
-                words, max_steps, expand_w=BUILD_EXPAND_W):
+                words, max_steps, expand_w=BUILD_EXPAND_W, seeds=None):
     """Widened unsorted beam over one layer (same scheme as hnsw_device's
     query kernel: selection via single-key top-k merges, bf16 gathers when
     ``xt`` is bf16; callers re-sort candidates exactly before selection).
     ``g`` is the entry slot (must be < start, i.e. already inserted).
     ``enabled`` is a traced flag: disabled lanes seed an empty beam and
     terminate immediately (loops must stay mask-driven — wrapping them in
-    ``lax.cond`` under vmap batches every closed-over array)."""
+    ``lax.cond`` under vmap batches every closed-over array). ``seeds``
+    (dists [S], slots [S]; non-finite = absent) hub-seeds the beam instead
+    of the single entry ``g``."""
     W = min(expand_w, ef)
     beam_d = jnp.full(ef, jnp.inf, jnp.float32)
     beam_id = jnp.full(ef, -1, jnp.int32)
     beam_exp = jnp.zeros(ef, bool)
     visited = jnp.zeros(words, jnp.uint32)
 
-    g0d = _rank_block(xt[g][None, :], q, metric)[0]
-    beam_d = beam_d.at[0].set(jnp.where(enabled, g0d, jnp.inf))
-    beam_id = beam_id.at[0].set(jnp.where(enabled, g, -1))
-    visited = visited.at[g >> 5].set(
-        jnp.where(enabled, jnp.uint32(1) << jnp.uint32(g & 31), jnp.uint32(0))
-    )
+    if seeds is None:
+        g0d = _rank_block(xt[g][None, :], q, metric)[0]
+        beam_d = beam_d.at[0].set(jnp.where(enabled, g0d, jnp.inf))
+        beam_id = beam_id.at[0].set(jnp.where(enabled, g, -1))
+        visited = visited.at[g >> 5].set(
+            jnp.where(enabled, jnp.uint32(1) << jnp.uint32(g & 31), jnp.uint32(0))
+        )
+    else:
+        sd, si = seeds
+        s_count = sd.shape[0]
+        ok = enabled & jnp.isfinite(sd) & (si >= 0)
+        beam_d = beam_d.at[:s_count].set(jnp.where(ok, sd, jnp.inf))
+        beam_id = beam_id.at[:s_count].set(jnp.where(ok, si, -1))
+        # seed slots are distinct (top_k positions); disabled lanes scatter
+        # to an out-of-range word and drop
+        widx = jnp.where(ok, jnp.maximum(si, 0) >> 5, words)
+        visited = visited.at[widx].add(
+            jnp.uint32(1) << jnp.uint32(jnp.maximum(si, 0) & 31), mode="drop"
+        )
 
     def cond(state):
         *_, step, done = state
@@ -256,11 +273,12 @@ def _greedy_upper(xt, up_adj, up_index, q, g, start, enabled, layer, metric):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "efc", "m", "m0", "lmax", "lmax_wave", "beam_steps"),
+    static_argnames=("metric", "efc", "m", "m0", "lmax", "lmax_wave", "beam_steps",
+                     "hub_cap"),
     donate_argnums=(2, 3),
 )
 def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
-               start, *, metric, efc, m, m0, lmax, lmax_wave, beam_steps):
+               start, *, metric, efc, m, m0, lmax, lmax_wave, beam_steps, hub_cap=0):
     """Inserts one wave: batched construct-search + forward edges + reciprocal
     prune. ``a0`` [n+1, m0] and ``up_adj`` [cap_up+1, max(lmax,1), m] carry a
     trailing trash row. Returns updated (a0, up_adj).
@@ -295,12 +313,29 @@ def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_m
     wave_lex = lex_rank[wave_slots]
 
     # ---- per-node construct search
+    hub_x = xt[:hub_cap] if hub_cap else None
+
     def search_one(slot, my_mask, peer_row):
         q = x[slot]
         qt = xt[slot]
         lv = levels[slot]
         has_graph = start > 0
         g = jnp.where(has_graph, entry_slot, 0)
+
+        if hub_cap:
+            # hub seeding for the layer-0 construct beam: a dense scan of
+            # the top-by-level prefix (only already-inserted slots < start
+            # are eligible) starts the beam near convergence — fewer
+            # sequential expansions than entry descent
+            hd = _rank_block(hub_x, qt, metric)
+            hd = jnp.where(jnp.arange(hub_cap) < start, hd, jnp.inf)
+            # few seeds: construct beams refine around each seed basin, so
+            # many seeds INCREASE total expansions at efc-scale beams
+            s_count = min(4, hub_cap)
+            neg, hpos = jax.lax.top_k(-hd, s_count)
+            hub_seeds = (-neg, jnp.where(jnp.isfinite(-neg), hpos.astype(jnp.int32), -1))
+        else:
+            hub_seeds = None
 
         deg_max = max(m, m0)
         sel_ids = jnp.full((lmax_wave + 1, deg_max), -1, jnp.int32)
@@ -327,7 +362,8 @@ def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_m
 
             bd, bi = _beam_layer(xt, adj_fn, qt, g, start, do_beam,
                                  metric=metric, ef=efc, words=words,
-                                 max_steps=beam_steps)
+                                 max_steps=beam_steps,
+                                 seeds=hub_seeds if l == 0 else None)
 
             # merge graph beam with intra-wave peers of sufficient level
             active = my_mask & (l <= lv)
@@ -508,6 +544,13 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int | None = No
         # the [B, n/32] visited carry and the [B, B] intra-wave peer matrix
         wave = 4096 if n >= 2**17 else (2048 if n >= 2**14 else 1024)
 
+    import os
+    import time as _time
+
+    from .hnsw_device import hub_count
+
+    debug = bool(os.environ.get("VETTORE_BUILD_DEBUG"))
+    hub_cap = 0 if os.environ.get("VETTORE_BUILD_NO_HUBS") else hub_count(n)
     for start in range(0, n, wave):
         size = min(wave, n - start)
         slots = np.full(wave, 0, dtype=np.int32)
@@ -515,14 +558,27 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int | None = No
         mask = np.zeros(wave, dtype=bool)
         mask[:size] = True
         # insertion order is level-descending, so the wave's top level is its
-        # first member's level; selection/reciprocal work is bounded by it
+        # first member's level; selection/reciprocal work is bounded by it.
+        # Bucketing to the next power of two caps the number of compiled
+        # kernel variants (remote compiles cost minutes each); layers above
+        # the wave's true level are fully masked.
         lmax_wave = int(levels[start])
+        if lmax_wave > 2:
+            b = 4
+            while b < lmax_wave:
+                b <<= 1
+            lmax_wave = min(b, lmax)
+        t0 = _time.perf_counter() if debug else 0.0
         a0, up_adj = _wave_step(
             xd, xt, a0, up_adj, up_index_d, lex_d, levels_d,
             jnp.asarray(slots), jnp.asarray(mask), jnp.int32(start),
             metric=metric, efc=efc, m=m, m0=m0, lmax=lmax, lmax_wave=lmax_wave,
-            beam_steps=beam_steps,
+            beam_steps=beam_steps, hub_cap=hub_cap,
         )
+        if debug:
+            jax.device_get(a0[0, 0])  # force wave completion
+            print(f"[build] wave@{start} size={size} lmax_wave={lmax_wave} "
+                  f"{_time.perf_counter() - t0:.2f}s", flush=True)
 
     # waves dispatch asynchronously; block here so build time is honest and
     # later searches don't silently absorb the construction queue
