@@ -2,45 +2,47 @@
 
 Headline (BASELINE.json): **QPS at recall@10 >= 0.95 on 1M x 768 cosine**,
 HNSW (m=16, m0=32, ef_construction=100) with the flat exact scan as ground
-truth, plus index build time.
+truth, plus index build time. The detail dict carries every other BASELINE
+config: flat exact f32/bf16, binary-quantized candidates=500 + exact rerank,
+Matryoshka funnel [128, 256, 384] candidates=200, and hybrid -> ColBERT
+MaxSim (32 x 128d token vectors) -> MMR, each with an overlap@10 preflight
+against the exact oracle BEFORE timing (the reference bench discipline,
+/root/reference/bench/search_modes_bench.exs:193-238).
 
-Methodology follows the reference's bench harness
-(/root/reference/bench/search_modes_bench.exs): deterministic seed, an
-overlap/recall preflight against the exact oracle BEFORE timing, then
-batched-throughput measurement. ``ef_search`` sweeps upward until the recall
-gate passes (the "QPS at recall@10>=0.95" procedure from BASELINE.md).
+Timing methodology: on this remote-device runtime ``block_until_ready`` does
+NOT block (dispatch is fully lazy until a fetch), so every timed region ends
+with a ``jax.device_get`` of the LAST output — in-order execution makes that
+fetch a barrier for the whole dispatched chain. Warmups also end with a
+fetch, because even compilation defers until a value is demanded.
 
-Corpus: clustered unit vectors (mixture of Gaussians, 1024 centers) — the
-geometry of real embedding corpora. Uniform random high-dim vectors make
-recall@0.95 unreachable for ANY plain-truncation HNSW (including the
-reference's, hnsw.rs:437-465) because of distance concentration.
+Queries: corpus points + noise at the full cluster radius (norm 0.4), so the
+recall gate actually bites (round-1 used 0.2 and saturated at 1.0).
 
-``vs_baseline`` compares against a measured single-core CPU scan of the same
-workload (stand-in for the reference's single-core Rust NIF; the reference
-publishes no absolute numbers). Target per BASELINE.json: >= 10x.
-
-Run: python bench.py              (default 300k x 768 — completes reliably)
-     python bench.py --scale=1m   (full 1M x 768 headline; ~1h budget)
-     python bench.py --scale=100k (mid-scale)
+Run: python bench.py              (full 1M x 768 headline config)
+     python bench.py --scale=300k / --scale=100k (smaller corpora)
      python bench.py --smoke      (tiny, CI-style)
+     python bench.py --headline-only  (skip secondary-corpus modes)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 import numpy as np
 
 SEED = 20_260_721
 HNSW_PARAMS = {"m": 16, "m0": 32, "ef_construction": 100, "max_level": 12}
-EF_SWEEP = (64, 128, 256, 512, 1024)
+EF_SWEEP = (16, 24, 32, 48, 64, 96, 128, 256, 512)
 RECALL_GATE = 0.95
 
 
-def clustered_corpus(n, d, n_clusters=None, cluster_radius=0.4):
+def clustered_corpus(n, d, n_clusters=None, cluster_radius=0.4, seed=SEED):
     """Unit vectors in Gaussian clusters; ``cluster_radius`` is the expected
     NOISE NORM (sigma = radius/sqrt(d)), so cluster tightness is
     dimension-independent — real embedding corpora have this geometry, while
@@ -49,7 +51,7 @@ def clustered_corpus(n, d, n_clusters=None, cluster_radius=0.4):
     scale-invariant rather than plateau-bound."""
     if n_clusters is None:
         n_clusters = max(1024, n // 100)
-    rng = np.random.default_rng(SEED)
+    rng = np.random.default_rng(seed)
     centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assignment = rng.integers(0, n_clusters, n)
@@ -59,7 +61,8 @@ def clustered_corpus(n, d, n_clusters=None, cluster_radius=0.4):
     return data
 
 
-def make_queries(data, count, noise_norm=0.2):
+def make_queries(data, count, noise_norm=0.4):
+    """Held-out queries: corpus points + noise at the cluster-radius norm."""
     rng = np.random.default_rng(SEED + 1)
     sigma = noise_norm / np.sqrt(data.shape[1])
     qs = data[rng.integers(0, data.shape[0], count)] + sigma * rng.normal(
@@ -69,7 +72,7 @@ def make_queries(data, count, noise_norm=0.2):
     return qs.astype(np.float32)
 
 
-def recall_at_k(hits, truth, k=10):
+def overlap_at_k(hits, truth, k=10):
     scores = []
     for h, t in zip(hits, truth):
         got = {id for id, _ in h[:k]}
@@ -78,15 +81,14 @@ def recall_at_k(hits, truth, k=10):
     return float(np.mean(scores))
 
 
-def cpu_single_core_qps(data, queries, limit=10):
+def cpu_single_core_qps(data, queries, limit=10, count=8):
     """Single-core CPU exact scan in a constrained subprocess (stand-in for
     the reference's single-core Rust NIF flat scan)."""
-    import os
     import tempfile
 
     with tempfile.TemporaryDirectory() as tmp:
         np.save(f"{tmp}/data.npy", data)
-        np.save(f"{tmp}/queries.npy", queries[:16])
+        np.save(f"{tmp}/queries.npy", queries[:count])
         code = f"""
 import numpy as np, time
 data = np.load("{tmp}/data.npy", mmap_mode=None)
@@ -110,104 +112,226 @@ print(len(queries) / (time.perf_counter() - t0))
 
 
 def _phase(msg):
-    import sys as _sys
-    print(f"[bench] {msg}", file=_sys.stderr, flush=True)
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _force(out):
+    """Barrier: fetch a small leaf of the LAST dispatched output. In-order
+    device execution makes this wait for everything queued before it."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf)
+
+
+def timed_qps(dispatch, iters, per_iter_queries):
+    """dispatch() enqueues one batch and returns device output. Returns QPS
+    with a fetch-forced barrier after the timed loop."""
+    _force(dispatch())  # warm: compile + execute
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(iters):
+        last = dispatch()
+    _force(last)
+    return per_iter_queries * iters / (time.perf_counter() - t0)
 
 
 def main():
     args = sys.argv[1:]
+    headline_only = "--headline-only" in args
     if "--smoke" in args:
         n, d, q_count, batch = 2_000, 64, 32, 32
     elif "--scale=100k" in args:
         n, d, q_count, batch = 100_000, 768, 512, 512
-    elif "--scale=1m" in args:
-        # the full BASELINE.md headline config; HNSW wave construction at
-        # 1M x 768 streams ~tens of TB of neighbor gathers and takes
-        # ~40-60 min on one chip — run explicitly when that budget exists
-        n, d, q_count, batch = 1_000_000, 768, 512, 512
-    else:
-        # default: the largest config that reliably completes within a
-        # modest wall-clock budget on one chip (HNSW build included)
+    elif "--scale=300k" in args:
         n, d, q_count, batch = 300_000, 768, 512, 512
+    else:
+        # the full BASELINE.md headline config (config 2/3)
+        n, d, q_count, batch = 1_000_000, 768, 512, 512
+
+    import jax
+    import jax.numpy as jnp
 
     from vettore_tpu.index.flat import FlatIndex
     from vettore_tpu.index.hnsw import HnswIndex
+
+    detail = {"batch": batch, "corpus": f"clustered({max(1024, n // 100)}centers,radius0.4)",
+              "query_noise_norm": 0.4}
 
     _phase(f"corpus {n}x{d}")
     data = clustered_corpus(n, d)
     ids = [f"doc-{i:07d}" for i in range(n)]
     queries = make_queries(data, max(q_count, batch))
+    qdev = jnp.asarray(queries[:batch], jnp.float32)
 
-    # ---- ground truth (exact flat scan on device)
+    # ---- flat exact (ground truth + config-1-style throughput)
     _phase("flat ingest")
     flat = FlatIndex("cosine")
     t0 = time.perf_counter()
     flat.put_many(zip(ids, data))
-    flat_build_s = time.perf_counter() - t0
+    detail["flat_build_s"] = round(time.perf_counter() - t0, 1)
     _phase("ground truth")
     truth = flat.search_batch(queries[:q_count], 10)
 
-    # flat throughput: sustained device-resident pipeline (serving path) —
-    # per-call host round-trips are a dev-tunnel artifact, not a device cost
-    import jax
-    import jax.numpy as jnp
+    detail["flat_exact_qps"] = round(timed_qps(
+        lambda: flat.search_batch_device(qdev, 10), 8, batch), 1)
+    _phase(f"flat f32 {detail['flat_exact_qps']} qps")
 
-    qdev = jnp.asarray(queries[:batch], jnp.float32)
-    jax.block_until_ready(flat.search_batch_device(qdev, 10))
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        out = flat.search_batch_device(qdev, 10)
-    jax.block_until_ready(out)
-    flat_qps = batch * iters / (time.perf_counter() - t0)
+    flat16 = FlatIndex("cosine", storage="bf16")
+    flat16.put_many(zip(ids, data))
+    hits16 = flat16.search_batch(queries[:q_count], 10)
+    detail["flat_bf16"] = {
+        "qps": round(timed_qps(lambda: flat16.search_batch_device(qdev, 10), 8, batch), 1),
+        "overlap_at_10": round(overlap_at_k(hits16, truth), 4),
+    }
+    del flat16
+    _phase(f"flat bf16 {detail['flat_bf16']}")
 
-    # ---- HNSW: bulk build + ef sweep to the recall gate
+    # ---- HNSW (config 2, the headline): bulk build + ef sweep to the gate
     _phase("hnsw build")
-    results = {}
     t0 = time.perf_counter()
     hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
     hnsw.BULK_THRESHOLD = min(HnswIndex.BULK_THRESHOLD, max(2, n // 2))
     hnsw.put_many(zip(ids, data))
     hnsw_build_s = time.perf_counter() - t0
+    detail["hnsw_build_s"] = round(hnsw_build_s, 1)
+    _phase(f"hnsw built in {hnsw_build_s:.0f}s; ef sweep")
 
     hnsw_qps, hnsw_recall, used_ef = None, 0.0, None
-    _phase(f"hnsw built in {hnsw_build_s:.0f}s; ef sweep")
     for ef in EF_SWEEP:
+        if ef > n:
+            break
         hnsw.params["ef_search"] = ef
         hits = hnsw.search_batch(queries[:q_count], 10)
-        r = recall_at_k(hits, truth)
+        r = overlap_at_k(hits, truth)
+        _phase(f"  ef={ef}: recall@10={r:.4f}")
         if r >= RECALL_GATE or ef == EF_SWEEP[-1]:
-            jax.block_until_ready(hnsw.search_batch_device(qdev, 10))
-            t0 = time.perf_counter()
-            iters = 3
-            for _ in range(iters):
-                out = hnsw.search_batch_device(qdev, 10)
-            jax.block_until_ready(out)
-            hnsw_qps = batch * iters / (time.perf_counter() - t0)
-            hnsw_recall, used_ef = r, ef
+            qps = timed_qps(lambda: hnsw.search_batch_device(qdev, 10), 6, batch)
+            hnsw_qps, hnsw_recall, used_ef = qps, r, ef
             if r >= RECALL_GATE:
                 break
+    detail["recall_at_10"] = round(hnsw_recall, 4)
+    detail["ef_search"] = used_ef
+    gate = "pass" if hnsw_recall >= RECALL_GATE else "ef_sweep_exhausted"
+    detail["recall_gate"] = gate
+    _phase(f"hnsw {hnsw_qps:.0f} qps at ef={used_ef} (recall {hnsw_recall:.4f})")
+
+    # ---- quantized (config 3) + funnel (config 4) over the same corpus,
+    # through the Collection pipelines
+    if not headline_only:
+        from vettore_tpu.collection import Collection
+
+        _phase("collection ingest (adaptive modes)")
+        col = Collection(name="bench", dimensions=d, metric="cosine", index="flat")
+        col.put_many([
+            {"id": id, "vector": vec} for id, vec in zip(ids, data)
+        ])
+
+        cand = min(500, n)
+        qhits = col.quantized_search_batch(queries[:q_count], limit=10, candidates=cand)
+        q_overlap = overlap_at_k(
+            [[(r.id, r.score) for r in row] for row in qhits], truth)
+        q_qps = timed_qps(
+            lambda: col.quantized_search_batch(queries[:batch], limit=10,
+                                               candidates=cand),
+            4, batch)
+        detail["quantized"] = {"qps": round(q_qps, 1), "candidates": cand,
+                               "overlap_at_10": round(q_overlap, 4)}
+        _phase(f"quantized {detail['quantized']}")
+
+        stages = tuple(s for s in (128, 256, 384) if s <= d) or (d,)
+        fcand = min(200, n)
+        fhits = col.funnel_search_batch(queries[:q_count], limit=10,
+                                        candidates=fcand, stages=list(stages))
+        f_overlap = overlap_at_k(
+            [[(r.id, r.score) for r in row] for row in fhits], truth)
+        f_qps = timed_qps(
+            lambda: col.funnel_search_batch(queries[:batch], limit=10,
+                                            candidates=fcand, stages=list(stages)),
+            4, batch)
+        detail["funnel"] = {"qps": round(f_qps, 1), "stages": list(stages),
+                            "candidates": fcand, "overlap_at_10": round(f_overlap, 4)}
+        _phase(f"funnel {detail['funnel']}")
+        col.close()
+        del col
+
+        # ---- hybrid -> MaxSim rerank -> MMR (config 5) on the multi-vector
+        # corpus: 32 x 128d token vectors per doc (kept to 100k docs: the
+        # token block alone is n*32*128 floats; per-doc cost is scale-free)
+        mv_n = min(n, 100_000) if "--smoke" not in args else 200
+        mv_d, mv_t = (128, 32) if "--smoke" not in args else (16, 4)
+        _phase(f"multi-vector corpus {mv_n}x{mv_t}x{mv_d}")
+        mv_docs = clustered_corpus(mv_n, mv_d, seed=SEED + 9)
+        rng = np.random.default_rng(SEED + 10)
+        token_noise = 0.3 / np.sqrt(mv_d)
+        mv_col = Collection(name="bench-mv", dimensions=mv_d, metric="cosine",
+                            index="hnsw",
+                            index_options={**HNSW_PARAMS, "ef_search": 64})
+        mv_col.index.BULK_THRESHOLD = min(HnswIndex.BULK_THRESHOLD, max(2, mv_n // 2))
+        mv_records = []
+        for i in range(mv_n):
+            toks = mv_docs[i] + token_noise * rng.normal(size=(mv_t, mv_d)).astype(np.float32)
+            mv_records.append({"id": f"mv-{i:06d}", "vectors": toks.tolist()})
+        t0 = time.perf_counter()
+        mv_col.put_many(mv_records)
+        detail_mv_build = time.perf_counter() - t0
+        mv_queries = make_queries(mv_docs, 32)
+
+        from vettore_tpu.ops.mmr import mmr_rerank
+
+        def hybrid_one(qv):
+            toks = [list(qv + token_noise * rng.normal(size=mv_d).astype(np.float32))
+                    for _ in range(4)]
+            results = mv_col.hybrid_search(
+                list(qv), limit=30, rerank=("multi_vector", toks))
+            initial = [(r.id, float(r.score)) for r in results]
+            pool = [(r.id, list(np.asarray(mv_col.get(r.id).vector))) for r in results]
+            return mmr_rerank(initial, pool, "cosine", 0.5, 10)
+
+        # oracle: exact MaxSim over ALL docs via multi_vector_search
+        sample = mv_queries[:8]
+        agree = []
+        for qv in sample:
+            hybrid_ids = [id for id, _ in hybrid_one(qv)]
+            exact = mv_col.multi_vector_search([list(qv)], limit=10)
+            agree.append(len(set(hybrid_ids) & {r.id for r in exact}) / 10)
+        t0 = time.perf_counter()
+        for qv in mv_queries[8:24]:
+            hybrid_one(qv)
+        lat_ms = (time.perf_counter() - t0) / 16 * 1000
+        detail["hybrid_maxsim_mmr"] = {
+            "docs": mv_n, "tokens": mv_t, "dims": mv_d,
+            "build_s": round(detail_mv_build, 1),
+            "latency_ms_per_query": round(lat_ms, 1),
+            "overlap_at_10_vs_exact_maxsim": round(float(np.mean(agree)), 4),
+            "note": "host-orchestrated pipeline; latency includes dev-tunnel RTTs",
+        }
+        _phase(f"hybrid+maxsim+mmr {detail['hybrid_maxsim_mmr']}")
+        mv_col.close()
+
+        # ---- config 1: flat exact cosine 100k x 384
+        if "--smoke" not in args:
+            c_n, c_d = min(n, 100_000), 384
+            _phase(f"flat {c_n}x{c_d} (config 1)")
+            cdata = clustered_corpus(c_n, c_d, seed=SEED + 20)
+            cq = make_queries(cdata, batch)
+            cflat = FlatIndex("cosine")
+            cflat.put_many((f"c-{i:06d}", v) for i, v in enumerate(cdata))
+            cqdev = jnp.asarray(cq, jnp.float32)
+            detail["flat_100k_384_qps"] = round(timed_qps(
+                lambda: cflat.search_batch_device(cqdev, 10), 8, batch), 1)
+            del cflat
 
     _phase("cpu baseline")
     baseline_qps = cpu_single_core_qps(data, queries)
+    detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
 
-    gate = "pass" if hnsw_recall >= RECALL_GATE else "ef_sweep_exhausted"
     print(json.dumps({
         "metric": f"hnsw_qps_at_recall10>={RECALL_GATE}_{n}x{d}_cosine",
         "value": round(hnsw_qps, 1),
         "unit": "qps",
         "vs_baseline": round(hnsw_qps / baseline_qps, 2),
-        "detail": {
-            "recall_at_10": round(hnsw_recall, 4),
-            "recall_gate": gate,
-            "ef_search": used_ef,
-            "hnsw_build_s": round(hnsw_build_s, 1),
-            "flat_build_s": round(flat_build_s, 1),
-            "flat_exact_qps": round(flat_qps, 1),
-            "cpu_single_core_exact_qps": round(baseline_qps, 2),
-            "batch": batch,
-            "corpus": f"clustered({max(1024, n // 100)}centers,radius0.4)",
-        },
+        "detail": detail,
     }))
 
 

@@ -152,6 +152,33 @@ class TestAdaptiveModes:
         quantized = col.quantized_search(q, candidates=40, limit=10)
         assert [r.id for r in quantized] == [r.id for r in exact]
 
+    def test_batched_modes_match_single(self, corpus):
+        col = make_collection(corpus)
+        queries = [
+            list(np.asarray(corpus[5][1]) * 0.7 + 0.1),
+            list(np.asarray(corpus[2][1]) * 0.4 - 0.2),
+            corpus[9][1],
+        ]
+        fb = col.funnel_search_batch(queries, stages=[4, 8], candidates=12, limit=5)
+        qb = col.quantized_search_batch(queries, candidates=12, limit=5)
+        for i, q in enumerate(queries):
+            fs = col.funnel_search(q, stages=[4, 8], candidates=12, limit=5)
+            qs = col.quantized_search(q, candidates=12, limit=5)
+            assert [r.id for r in fb[i]] == [r.id for r in fs]
+            assert [r.id for r in qb[i]] == [r.id for r in qs]
+            # vmapped matmuls may reduce in a different order: scores agree
+            # to f32 precision, not bit-for-bit
+            for br, sr in zip(qb[i], qs):
+                assert br.score == pytest.approx(sr.score, abs=1e-5)
+
+    def test_batched_modes_validation(self, corpus):
+        col = make_collection(corpus)
+        with pytest.raises(errors.InvalidCandidates):
+            col.funnel_search_batch([corpus[0][1]], candidates=2, limit=5)
+        with pytest.raises(errors.DimensionMismatch):
+            col.quantized_search_batch([[1.0]], limit=5)
+        assert col.quantized_search_batch([], limit=5) == []
+
     def test_hybrid_full_candidates_equals_exact(self, corpus):
         col = make_collection(corpus)
         q = list(np.asarray(corpus[5][1]) * 0.7 + 0.1)

@@ -699,6 +699,84 @@ class Collection:
             return self._funnel_host(cache, q, stages, candidates, limit)
         return self._slots_to_results(cache, top, raws, ranks)
 
+    @observed("funnel_search_batch")
+    def funnel_search_batch(self, queries, *, limit=10, candidates=None, stages=None,
+                            dimensions=None, **extra) -> list:
+        """Batched funnel search: one device dispatch for a query batch."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        if candidates is None:
+            candidates = max(limit * 10, limit)
+        _validate_candidates(candidates, limit)
+        stages = self._funnel_stages(stages, dimensions)
+        prepared = self._prepare_query_batch(queries)
+        cache = self._scan_cache()
+        if cache.n == 0:
+            return [[] for _ in range(prepared.shape[0])]
+        if prepared.shape[0] == 0:
+            return []
+        x, valid, lex_order, lex_rank = cache.vectors()
+        count = min(candidates, cache.n)
+        k = min(limit, count)
+        top, raws, ranks, finite = jax.device_get(pipe.funnel_pipeline_batch(
+            x, valid, lex_order, lex_rank, jnp.asarray(prepared),
+            metric=self.metric, stages=tuple(stages), count=count, limit=k,
+        ))
+        out = []
+        for b in range(prepared.shape[0]):
+            if not bool(finite[b]):
+                out.append(self._funnel_host(cache, prepared[b], stages, candidates, limit))
+            else:
+                out.append(self._slots_to_results(cache, top[b], raws[b], ranks[b]))
+        return out
+
+    @observed("quantized_search_batch")
+    def quantized_search_batch(self, queries, *, limit=10, candidates=None, **extra) -> list:
+        """Batched quantized search: one device dispatch for a query batch."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        if candidates is None:
+            candidates = max(limit * 10, limit)
+        _validate_candidates(candidates, limit)
+        prepared = self._prepare_query_batch(queries)
+        cache = self._scan_cache()
+        if cache.n == 0:
+            return [[] for _ in range(prepared.shape[0])]
+        if prepared.shape[0] == 0:
+            return []
+        x, valid, lex_order, _lex_rank = cache.vectors()
+        bits = cache.bits()
+        qbits = pack_signs_u32(prepared)
+        count = min(candidates, cache.n)
+        k = min(limit, count)
+        top, raws, ranks, finite = jax.device_get(pipe.quantized_pipeline_batch(
+            x, bits, valid, lex_order, jnp.asarray(prepared), jnp.asarray(qbits),
+            metric=self.metric, count=count, limit=k,
+        ))
+        out = []
+        for b in range(prepared.shape[0]):
+            if not bool(finite[b]):
+                out.append(self._quantized_host(cache, prepared[b], candidates, limit))
+            else:
+                out.append(self._slots_to_results(cache, top[b], raws[b], ranks[b]))
+        return out
+
+    def _prepare_query_batch(self, queries) -> np.ndarray:
+        self.ensure_open()
+        if not len(queries):
+            return np.zeros((0, self.dimensions), np.float32)
+        try:
+            qs = np.asarray(queries, dtype=np.float64)
+        except (TypeError, ValueError) as exc:
+            raise E.InvalidVector("queries must be numeric") from exc
+        if qs.ndim != 2:
+            raise E.InvalidVector("queries must be a [batch, dims] matrix")
+        if qs.shape[1] != self.dimensions:
+            raise E.DimensionMismatch("dimension mismatch")
+        if qs.size and (not np.isfinite(qs).all() or (np.abs(qs) > F32_MAX).any()):
+            raise E.InvalidVector("vector contains a non-finite value")
+        return normalize_rows(qs, self.normalize) if qs.size else qs
+
     def _funnel_stages(self, stages, dimensions):
         if stages is None:
             stages = [dimensions] if dimensions is not None else [min(self.dimensions, 128)]

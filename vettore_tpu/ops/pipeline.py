@@ -144,3 +144,34 @@ def quantized_candidates_pipeline(bits, valid, lex_order, qbits, *, count):
 def rerank_pipeline(x, slots, slot_ok, q, *, metric, limit):
     """Standalone exact rerank over an arbitrary candidate set."""
     return subset_rerank(x, slots, slot_ok, q, metric=metric, limit=limit)
+
+
+# ---------------------------------------------------------------------------
+# Batched variants: one dispatch for a whole query batch (serving path —
+# per-query dispatches through a remote tunnel are RTT-bound)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "stages", "count", "limit"))
+def funnel_pipeline_batch(x, valid, lex_order, lex_rank, queries, *, metric, stages,
+                          count, limit):
+    """Vmapped :func:`funnel_pipeline` over ``queries`` [B, d]."""
+
+    def one(q):
+        return funnel_pipeline(x, valid, lex_order, lex_rank, q, metric=metric,
+                               stages=stages, count=count, limit=limit)
+
+    return jax.vmap(one)(queries)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "count", "limit"))
+def quantized_pipeline_batch(x, bits, valid, lex_order, queries, qbits, *, metric,
+                             count, limit):
+    """Vmapped :func:`quantized_pipeline` over ``queries`` [B, d] and
+    ``qbits`` [B, W]."""
+
+    def one(q, qb):
+        return quantized_pipeline(x, bits, valid, lex_order, q, qb, metric=metric,
+                                  count=count, limit=limit)
+
+    return jax.vmap(one)(queries, qbits)
