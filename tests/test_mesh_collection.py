@@ -1,0 +1,129 @@
+"""Mesh-backed Collection lifecycle on the virtual 8-device CPU mesh:
+sharded ingest, search parity with a single-chip collection, mutation,
+snapshot/restore (VERDICT round-1 item 7; SURVEY §5.8)."""
+
+import jax
+import numpy as np
+import pytest
+
+import vettore_tpu as vt
+from vettore_tpu.parallel import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def corpus(n=80, d=16, seed=11):
+    rng = np.random.default_rng(seed)
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    return [
+        {"id": f"doc-{i:03d}", "vector": [float(v) for v in vectors[i]]}
+        for i in range(n)
+    ], vectors
+
+
+def make_pair(metric="cosine", index="flat", data=2, **opts):
+    mesh = make_mesh(data=data)
+    records, vectors = corpus()
+    sharded = vt.Collection(name="m", dimensions=16, metric=metric, index=index,
+                            mesh=mesh, **opts)
+    single = vt.Collection(name="s", dimensions=16, metric=metric, index=index,
+                           **opts)
+    sharded.put_many(records)
+    single.put_many(records)
+    return sharded, single, records, vectors
+
+
+class TestMeshFlatCollection:
+    def test_search_matches_single_chip(self):
+        sharded, single, records, vectors = make_pair()
+        for qi in (3, 17, 42):
+            got = sharded.search(list(vectors[qi]), limit=7)
+            want = single.search(list(vectors[qi]), limit=7)
+            assert [r.id for r in got] == [r.id for r in want]
+            # cross-shard reductions may split differently: scores agree to
+            # f32 precision, not bit-for-bit
+            for g, w in zip(got, want):
+                assert g.score == pytest.approx(w.score, abs=1e-5)
+
+    def test_search_batch_matches(self):
+        sharded, single, records, vectors = make_pair()
+        got = sharded.search_batch(vectors[:5].tolist(), limit=5)
+        want = single.search_batch(vectors[:5].tolist(), limit=5)
+        for g, w in zip(got, want):
+            assert [r.id for r in g] == [r.id for r in w]
+
+    def test_delete_then_insert(self):
+        sharded, single, records, vectors = make_pair()
+        sharded.delete("doc-003")
+        single.delete("doc-003")
+        got = sharded.search(list(vectors[3]), limit=5)
+        want = single.search(list(vectors[3]), limit=5)
+        assert "doc-003" not in [r.id for r in got]
+        assert [r.id for r in got] == [r.id for r in want]
+        # re-insert triggers a reshard; parity must hold
+        sharded.put(records[3])
+        single.put(records[3])
+        got = sharded.search(list(vectors[3]), limit=5)
+        assert got[0].id == "doc-003"
+
+    def test_adaptive_modes_work_on_mesh_collection(self):
+        sharded, single, records, vectors = make_pair()
+        got = sharded.funnel_search(list(vectors[9]), stages=[8, 16], candidates=30,
+                                    limit=5)
+        want = single.funnel_search(list(vectors[9]), stages=[8, 16], candidates=30,
+                                    limit=5)
+        assert [r.id for r in got] == [r.id for r in want]
+
+    def test_snapshot_restore_on_mesh(self, tmp_path):
+        sharded, single, records, vectors = make_pair()
+        path = str(tmp_path / "mesh.snap")
+        sharded.snapshot(path)
+        mesh = make_mesh(data=2)
+        loaded = vt.load_snapshot(path, mesh=mesh)
+        got = loaded.search(list(vectors[7]), limit=5)
+        want = single.search(list(vectors[7]), limit=5)
+        assert [r.id for r in got] == [r.id for r in want]
+        for g, w in zip(got, want):
+            assert g.score == pytest.approx(w.score, abs=1e-5)
+        # and a mesh snapshot loads fine on a single chip
+        plain = vt.load_snapshot(path)
+        got = plain.search(list(vectors[7]), limit=5)
+        assert [r.id for r in got] == [r.id for r in want]
+
+
+class TestMeshHnswCollection:
+    OPTS = {"index_options": {"m": 4, "m0": 8, "ef_construction": 24,
+                              "ef_search": 40}}
+
+    def test_self_recall_and_overlap(self):
+        sharded, single, records, vectors = make_pair(index="hnsw", **self.OPTS)
+        overlaps = []
+        for qi in range(0, 80, 7):
+            got = sharded.search(list(vectors[qi]), limit=5)
+            want = single.search(list(vectors[qi]), limit=5)
+            assert got[0].id == f"doc-{qi:03d}"
+            overlaps.append(
+                len({r.id for r in got} & {r.id for r in want}) / 5
+            )
+        assert np.mean(overlaps) >= 0.9
+
+    def test_pending_tail_insert(self):
+        sharded, single, records, vectors = make_pair(index="hnsw", **self.OPTS)
+        rng = np.random.default_rng(5)
+        extra = rng.normal(size=(3, 16)).astype(np.float32)
+        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+        for i, v in enumerate(extra):
+            sharded.put({"id": f"new-{i}", "vector": [float(x) for x in v]})
+        # pending rows are scanned exactly: a fresh insert is findable at once
+        got = sharded.search(list(extra[1]), limit=3)
+        assert got[0].id == "new-1"
+
+    def test_delete_masks_graph_hits(self):
+        sharded, single, records, vectors = make_pair(index="hnsw", **self.OPTS)
+        sharded.delete("doc-010")
+        got = sharded.search(list(vectors[10]), limit=5)
+        assert "doc-010" not in [r.id for r in got]
+        assert len(got) == 5

@@ -311,6 +311,7 @@ class Collection:
         index_options=None,
         score="raw",
         compressed=False,
+        mesh=None,
         **extra,
     ):
         _reject_extra(extra)
@@ -338,9 +339,11 @@ class Collection:
         self.index_kind = index if isinstance(index, str) else "custom"
         self.index_options = dict(index_options or {})
         self.compressed = compressed
+        self.mesh = mesh
 
         self._stats = StatsRegistry()
-        self._index = self._make_index(index, metric, self.index_options, compressed)
+        self._index = self._make_index(index, metric, self.index_options, compressed,
+                                       mesh=mesh)
         self._store = self._make_store(store, self._config())
         self._write_lock = threading.RLock()
         self._version = 0
@@ -352,7 +355,15 @@ class Collection:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _make_index(index, metric, index_options, compressed=False):
+    def _make_index(index, metric, index_options, compressed=False, mesh=None):
+        if mesh is not None and index in ("flat", "hnsw"):
+            # collections larger than one chip shard across the mesh
+            # (SURVEY §5.8): same Index behaviour, row-sharded device state
+            from .parallel.collection_mesh import MeshFlatIndex, MeshHnswIndex
+
+            if index == "flat":
+                return MeshFlatIndex(metric, index_options or None, mesh=mesh)
+            return MeshHnswIndex(metric, index_options, mesh=mesh)
         if index == "flat":
             # the reference's `compressed` trades CPU for ETS memory; the
             # TPU-native analog stores the device block in bf16 (half HBM,
@@ -1084,10 +1095,12 @@ class Collection:
 
 
 def load_snapshot(path: str, *, name=None, index=None, index_options=None, score=None,
-                  store=None, **extra):
+                  store=None, mesh=None, **extra):
     """Loads a collection from a snapshot; the index is rebuilt from canonical
     records, never deserialized. Overrides are restricted to non-structural
-    fields (collection.ex:54,1159-1174) and persist through later snapshots."""
+    fields (collection.ex:54,1159-1174) and persist through later snapshots.
+    Passing ``mesh`` rebuilds the index sharded across the mesh — the
+    snapshot format is identical either way (host records are canonical)."""
     for key in extra:
         raise E.UnsupportedSnapshotOverride(key)
     if not isinstance(path, str):
@@ -1098,7 +1111,7 @@ def load_snapshot(path: str, *, name=None, index=None, index_options=None, score
     loaded_store, config = store_cls.load_snapshot(path)
     try:
         return _restore(loaded_store, config, name=name, index=index,
-                        index_options=index_options, score=score)
+                        index_options=index_options, score=score, mesh=mesh)
     except Exception:
         close = getattr(loaded_store, "close", None)
         if callable(close):
@@ -1106,7 +1119,7 @@ def load_snapshot(path: str, *, name=None, index=None, index_options=None, score
         raise
 
 
-def _restore(loaded_store, config, *, name, index, index_options, score):
+def _restore(loaded_store, config, *, name, index, index_options, score, mesh=None):
     if not isinstance(config, dict):
         raise E.InvalidSnapshot("snapshot config must be a map")
     if config.get("snapshot_version", 0) not in (0, SNAPSHOT_VERSION):
@@ -1142,8 +1155,10 @@ def _restore(loaded_store, config, *, name, index, index_options, score):
     collection.index_kind = index_kind if isinstance(index_kind, str) else "custom"
     collection.index_options = dict(opts)
     collection.compressed = compressed
+    collection.mesh = mesh
     collection._stats = StatsRegistry()
-    collection._index = Collection._make_index(index_kind, metric, dict(opts), compressed)
+    collection._index = Collection._make_index(index_kind, metric, dict(opts), compressed,
+                                               mesh=mesh)
     collection._store = loaded_store
     collection._write_lock = threading.RLock()
     collection._version = 0

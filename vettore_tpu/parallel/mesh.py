@@ -119,11 +119,25 @@ class ShardedFlat:
         lex_rank[n:] = np.iinfo(np.int32).max
         self.ids = list(ids)
         self.n = n
+        self._slot_of = {str(id): i for i, id in enumerate(ids)}
+        self._valid_host = valid
         row_sharding = NamedSharding(mesh, P("shard", None))
-        flag_sharding = NamedSharding(mesh, P("shard"))
+        self._flag_sharding = NamedSharding(mesh, P("shard"))
         self._x = jax.device_put(x, row_sharding)
-        self._valid = jax.device_put(valid, flag_sharding)
-        self._lex = jax.device_put(lex_rank, flag_sharding)
+        self._valid = jax.device_put(valid, self._flag_sharding)
+        self._lex = jax.device_put(lex_rank, self._flag_sharding)
+
+    def invalidate_ids(self, ids) -> None:
+        """Masks rows out of the search (delete without resharding: one
+        [cap]-bool transfer; the canonical host store is unaffected)."""
+        changed = False
+        for id in ids:
+            slot = self._slot_of.get(str(id))
+            if slot is not None and self._valid_host[slot]:
+                self._valid_host[slot] = False
+                changed = True
+        if changed:
+            self._valid = jax.device_put(self._valid_host, self._flag_sharding)
 
     def search_batch(self, queries, limit: int) -> list:
         """Returns ``[(id, raw)]`` per query, merged across shards."""
