@@ -6,6 +6,20 @@ encode query and document multi-vectors to fixed-dimensional vectors, search
 them with inner product, then rerank candidates with exact MaxSim.
 """
 
-from .ops.muvera import CONFIG_KEYS, MAX_OUTPUT_DIMENSIONS, encode_document, encode_query
+from .ops.muvera import (
+    CONFIG_KEYS,
+    MAX_OUTPUT_DIMENSIONS,
+    encode_document,
+    encode_documents,
+    encode_queries,
+    encode_query,
+)
 
-__all__ = ["encode_query", "encode_document", "CONFIG_KEYS", "MAX_OUTPUT_DIMENSIONS"]
+__all__ = [
+    "encode_query",
+    "encode_document",
+    "encode_queries",
+    "encode_documents",
+    "CONFIG_KEYS",
+    "MAX_OUTPUT_DIMENSIONS",
+]

@@ -57,20 +57,30 @@ def _hash4(a, b, c, d):
         return x ^ (x >> np.uint64(31))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def _random_weights(seed: int, repetition: int, projection: int, dims: int) -> np.ndarray:
     """Deterministic pseudo-random weights in [-1, 1] for one SimHash
     projection row (muvera.rs:203-207): f64 division then f32 cast, then the
-    affine map in f32 — matching the reference's cast order."""
+    affine map in f32 — matching the reference's cast order. Cached: batch
+    encoding calls this with identical arguments for every vector set."""
     h = _hash4(np.uint64(seed), np.uint64(repetition), np.uint64(projection),
                np.arange(dims, dtype=np.uint64))
     unit = (h.astype(np.float64) / float(U64_MAX)).astype(np.float32)
-    return unit * np.float32(2.0) - np.float32(1.0)
+    out = unit * np.float32(2.0) - np.float32(1.0)
+    out.setflags(write=False)
+    return out
 
 
+@functools.lru_cache(maxsize=1024)
 def _random_signs(seed: int, repetition: int, projection: int, dims: int) -> np.ndarray:
     h = _hash4(np.uint64(seed), np.uint64(repetition), np.uint64(projection),
                np.arange(dims, dtype=np.uint64))
-    return np.where((h & np.uint64(1)) == 0, np.float32(1.0), np.float32(-1.0))
+    out = np.where((h & np.uint64(1)) == 0, np.float32(1.0), np.float32(-1.0))
+    out.setflags(write=False)
+    return out
 
 
 def _cfg_error(message: str, reason: str):
@@ -123,6 +133,11 @@ def _normalize_config(config: dict, inferred_dim: int) -> dict:
 
 
 def _prepare_vectors(vectors) -> np.ndarray:
+    if isinstance(vectors, np.ndarray) and vectors.ndim == 2 and vectors.size:
+        # fast path for matrix input (batch encoders hand these through)
+        if not np.isfinite(vectors).all() or (np.abs(vectors) > F32_MAX).any():
+            raise InvalidVector("invalid vectors")
+        return vectors.astype(np.float64)
     if not isinstance(vectors, (list, tuple)):
         raise InvalidVector("invalid vectors")
     if len(vectors) == 0:
@@ -243,3 +258,112 @@ def encode_query(vectors, config=None) -> list:
 def encode_document(vectors, config=None) -> list:
     """Document FDE: vectors average within each partition."""
     return _encode(vectors, config, "document")
+
+
+def _encode_batch(vector_sets, config, mode: str) -> np.ndarray:
+    """Batch encoder: bit-identical to mapping :func:`_encode` over
+    ``vector_sets`` (same per-step f64-add / f32-store accumulation order
+    within every (set, repetition, partition) group), but with the hashing,
+    projections, and partition assignment shared and vectorized across the
+    whole batch — per-set Python overhead drops from ~milliseconds to
+    microseconds. Raises on the first invalid set, before touching output."""
+    if not isinstance(vector_sets, (list, tuple)):
+        raise InvalidVector("invalid vectors")
+    if len(vector_sets) == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    if len(vector_sets) > 2048:
+        # bounded working set: scattered accumulation into a multi-GB output
+        # block goes cache-hostile; ~2k sets keeps it resident
+        return np.concatenate([
+            _encode_batch(list(vector_sets[s:s + 2048]), config, mode)
+            for s in range(0, len(vector_sets), 2048)
+        ])
+    arrs = [_prepare_vectors(v) for v in vector_sets]
+    dims = arrs[0].shape[1]
+    for a in arrs:
+        if a.shape[1] != dims:
+            raise DimensionMismatch("dimension mismatch")
+    cfg = _normalize_config(dict(config or {}), dims)
+    reps = cfg["num_repetitions"]
+    simhash = cfg["num_simhash_projections"]
+    seed = cfg["seed"]
+    proj_dim = cfg["projection_dimension"]
+    partitions = 1 << simhash
+    rep_size = partitions * proj_dim
+    identity = proj_dim == dims
+    sign_seed = (seed + 17) & U64_MAX
+
+    D = len(arrs)
+    lens = np.array([a.shape[0] for a in arrs])
+    flat = np.concatenate(arrs, axis=0)  # [sum_T, dims] f64
+    set_of = np.repeat(np.arange(D), lens)
+
+    out = np.zeros((D, reps * rep_size), dtype=np.float32)
+    rows = np.arange(proj_dim)
+
+    for rep in range(reps):
+        if simhash:
+            weights = np.stack(
+                [_random_weights(seed, rep, p, dims) for p in range(simhash)]
+            ).astype(np.float64)
+            bits = (flat @ weights.T >= 0.0).astype(np.int64)
+            powers = 1 << np.arange(simhash - 1, -1, -1, dtype=np.int64)
+            parts = bits @ powers
+        else:
+            parts = np.zeros(flat.shape[0], dtype=np.int64)
+        if identity:
+            values_all = flat
+        else:
+            signs = np.stack(
+                [_random_signs(sign_seed, rep, p, dims) for p in range(proj_dim)]
+            ).astype(np.float64)
+            values_all = flat @ signs.T
+
+        key = set_of * partitions + parts
+        order = np.argsort(key, kind="stable")
+        key_sorted = key[order]
+        first = np.concatenate([[True], key_sorted[1:] != key_sorted[:-1]])
+        seg_start = np.maximum.accumulate(
+            np.where(first, np.arange(key_sorted.size), 0)
+        )
+        within = np.arange(key_sorted.size) - seg_start
+        base_off = rep * rep_size + parts * proj_dim
+        for j in range(int(within.max()) + 1 if within.size else 0):
+            sel = order[within == j]
+            gather = (set_of[sel][:, None], base_off[sel][:, None] + rows[None, :])
+            values = values_all[sel]
+            if j == 0:
+                # first member of every (set, partition) group lands in
+                # untouched zero slots: pure scatter, no gather — this round
+                # covers the vast majority of tokens
+                out[gather] = values.astype(np.float32)
+                continue
+            current = out[gather].astype(np.float64)
+            if mode == "query":
+                nxt = current + values
+            else:
+                nxt = current + (values - current) / (j + 1)
+            out[gather] = nxt.astype(np.float32)
+
+    # overflow detection once at the end: an f32-overflowing store becomes
+    # +-inf and inf/nan stick through both accumulation modes, so any
+    # intermediate overflow survives to this check (the per-set encoder
+    # checks per step; the raised error is identical)
+    if not np.isfinite(out).all():
+        raise EncodingOverflow("encoding overflow")
+
+    final_dim = cfg["final_projection_dimension"]
+    if final_dim is not None:
+        out = np.stack([_count_sketch(row, final_dim, seed) for row in out])
+    return out
+
+
+def encode_queries(vector_sets, config=None) -> np.ndarray:
+    """Batch query FDEs: ``[len(vector_sets), fde_dim]`` float32, row i equal
+    to ``encode_query(vector_sets[i], config)``."""
+    return _encode_batch(vector_sets, config, "query")
+
+
+def encode_documents(vector_sets, config=None) -> np.ndarray:
+    """Batch document FDEs (running-average accumulation per partition)."""
+    return _encode_batch(vector_sets, config, "document")
