@@ -171,6 +171,27 @@ class TestAdaptiveModes:
             for br, sr in zip(qb[i], qs):
                 assert br.score == pytest.approx(sr.score, abs=1e-5)
 
+    def test_multi_vector_bulk_prepare_matches_per_record(self):
+        """The vectorized multi-vector ingest path (>=256 homogeneous
+        records) must produce byte-identical embeddings to the per-record
+        pipeline."""
+        rng = np.random.default_rng(3)
+        d, t = 8, 3
+        records = [
+            {"id": f"m-{i:04d}", "vectors": rng.normal(size=(t, d)).tolist()}
+            for i in range(300)
+        ]
+        big = vt.Collection(name="bulk", dimensions=d, metric="cosine")
+        big.put_many(records)
+        small = vt.Collection(name="one", dimensions=d, metric="cosine")
+        for r in records[:10]:
+            small.put(r)
+        for r in records[:10]:
+            a, b = big.get(r["id"]), small.get(r["id"])
+            assert np.allclose(a.vector, b.vector, atol=0)
+            assert a.binary_vector == b.binary_vector
+            assert all(np.allclose(x, y, atol=0) for x, y in zip(a.vectors, b.vectors))
+
     def test_batched_modes_validation(self, corpus):
         col = make_collection(corpus)
         with pytest.raises(errors.InvalidCandidates):

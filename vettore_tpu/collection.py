@@ -494,7 +494,7 @@ class Collection:
         for item in items:
             if isinstance(item, Embedding):
                 if item.vectors is not None or item.vector is None:
-                    return [self._prepare_one(i) for i in items]
+                    return self._prepare_batch_multi(items)
                 id = item.id if isinstance(item.id, str) and item.id else (
                     item.value if isinstance(item.value, str) and item.value else None
                 )
@@ -504,7 +504,7 @@ class Collection:
                                item.vector, item.metadata))
             else:
                 if "vectors" in item or "vector" not in item:
-                    return [self._prepare_one(i) for i in items]
+                    return self._prepare_batch_multi(items)
                 id = item.get("id") or item.get("value")
                 if not isinstance(id, str) or not id:
                     raise E.MissingId("embedding needs an id or a non-empty string value")
@@ -525,6 +525,59 @@ class Collection:
                       vectors=None, binary_vector=[int(w) for w in packed[i]],
                       metadata=metadata)
             for i, (id, value, _vec, metadata) in enumerate(simple)
+        ]
+
+    def _prepare_batch_multi(self, items) -> list:
+        """Vectorized preparation for homogeneous MULTI-vector batches (every
+        record carries ``vectors`` with the same token count and no explicit
+        primary vector): one [N*T, d] validate/normalize + one batched mean +
+        sign-pack instead of per-record Python. Anything ragged or mixed
+        falls back to the per-record path."""
+        rows = []
+        for item in items:
+            if isinstance(item, Embedding):
+                if item.vector is not None or not item.vectors:
+                    return [self._prepare_one(i) for i in items]
+                id = item.id if isinstance(item.id, str) and item.id else (
+                    item.value if isinstance(item.value, str) and item.value else None
+                )
+                if id is None:
+                    raise E.MissingId("embedding needs an id or a non-empty string value")
+                rows.append((id, item.value if item.value is not None else id,
+                             item.vectors, item.metadata))
+            else:
+                if "vector" in item or not item.get("vectors"):
+                    return [self._prepare_one(i) for i in items]
+                id = item.get("id") or item.get("value")
+                if not isinstance(id, str) or not id:
+                    raise E.MissingId("embedding needs an id or a non-empty string value")
+                rows.append((id, item.get("value", id), item["vectors"],
+                             item.get("metadata")))
+        t0 = len(rows[0][2]) if isinstance(rows[0][2], (list, tuple)) else -1
+        if t0 <= 0 or not all(
+            isinstance(r[2], (list, tuple)) and len(r[2]) == t0 for r in rows
+        ):
+            return [self._prepare_one(i) for i in items]
+        try:
+            tokens = np.asarray([r[2] for r in rows], dtype=np.float64)
+        except (TypeError, ValueError):
+            return [self._prepare_one(i) for i in items]
+        if tokens.ndim != 3 or tokens.shape[2] != self.dimensions:
+            raise E.DimensionMismatch("dimension mismatch")
+        if not np.isfinite(tokens).all() or (np.abs(tokens) > F32_MAX).any():
+            raise E.InvalidVector("vector contains a non-finite value")
+        n, t, d = tokens.shape
+        normalized = normalize_rows(tokens.reshape(n * t, d), self.normalize)
+        normalized = normalized.reshape(n, t, d)
+        primary = normalize_rows(normalized.mean(axis=1), self.normalize)
+        packed = pack_signs_u64_rows(primary)
+        return [
+            Embedding(id=id, value=value,
+                      vector=primary[i],
+                      vectors=[normalized[i, j] for j in range(t)],
+                      binary_vector=[int(w) for w in packed[i]],
+                      metadata=metadata)
+            for i, (id, value, _vs, metadata) in enumerate(rows)
         ]
 
     def _validate_dims(self, vector):
