@@ -50,7 +50,6 @@ from .ops.packing import (
     words_for,
 )
 from .observability import StatsRegistry, observed
-from .ops.topk import topk_desc
 from .store.base import Store, valid_store
 from .store.memory import MemoryStore
 
@@ -100,10 +99,14 @@ class _VectorCache:
     """Device-resident mirror of all stored primary vectors for adaptive
     scans (funnel/quantized/hybrid/exact-rerank). Rebuilt from the canonical
     store whenever the collection mutates — the same canonical-vs-acceleration
-    split the reference keeps between ETS and native resources."""
+    split the reference keeps between ETS and native resources.
+
+    Records are held in LEXICOGRAPHIC id order, so slot order == id order:
+    stable top-k resolves equal-rank ties to the smallest id with no
+    per-query [n]-gather through a lex permutation (that gather dominated
+    the adaptive pipelines at 1M rows)."""
 
     def __init__(self, records, dimensions):
-        self.records = records
         self.n = len(records)
         ids = []
         seen = set()
@@ -114,9 +117,11 @@ class _VectorCache:
                 raise E.DuplicateId(f"duplicate id: {r.id!r}")
             seen.add(r.id)
             ids.append(r.id)
-        self.ids = ids
-        self.slot_of = {id: i for i, id in enumerate(ids)}
-        self.by_id = {id: r for id, r in zip(ids, records)}
+        order = np.argsort(np.array(ids, dtype=str), kind="stable") if ids else []
+        self.records = [records[i] for i in order]
+        self.ids = [ids[i] for i in order]
+        self.slot_of = {id: i for i, id in enumerate(self.ids)}
+        self.by_id = {id: r for id, r in zip(self.ids, self.records)}
         self.cap = _cap_at_least(self.n)
         self.dimensions = dimensions
         self._x = None
@@ -164,16 +169,8 @@ class _VectorCache:
             mat[: self.n] = self._stack_vectors()
         valid = np.zeros(self.cap, dtype=bool)
         valid[: self.n] = True
-        order = np.argsort(np.array(self.ids, dtype=str), kind="stable").astype(np.int32)
-        lex_order = np.concatenate([order, np.arange(self.n, self.cap, dtype=np.int32)])
-        lex_rank = np.zeros(self.cap, dtype=np.int32)
-        lex_rank[lex_order] = np.arange(self.cap, dtype=np.int32)
-        self._x = (
-            jnp.asarray(mat),
-            jnp.asarray(valid),
-            jnp.asarray(lex_order),
-            jnp.asarray(lex_rank),
-        )
+        # records are lex-sorted, so slot order IS id order
+        self._x = (jnp.asarray(mat), jnp.asarray(valid))
         return self._x
 
     def bits(self):
@@ -269,11 +266,13 @@ class _VectorCache:
         return self._mv
 
 
-def _mv_pipeline(tokens, counts, valid, lex_order, queries, *, metric, limit):
+def _mv_pipeline(tokens, counts, valid, queries, *, metric, limit):
     totals, pair_finite = maxsim_ops.batched_maxsim_scores(tokens, counts, queries, metric=metric)
     scores = jnp.where(valid, totals, -jnp.inf)
     ok = jnp.all((jnp.isfinite(totals) & pair_finite) | ~valid)
-    slots, top_scores = topk_desc(scores, lex_order, limit=limit)
+    # slot order == id order (lex-sorted cache): stable top_k resolves ties
+    # to the lexicographically smallest id (multi_vector.rs:22-31)
+    top_scores, slots = jax.lax.top_k(scores, limit)
     return slots, top_scores, ok
 
 
@@ -751,11 +750,11 @@ class Collection:
         cache = self._scan_cache()
         if cache.n == 0:
             return []
-        x, valid, lex_order, lex_rank = cache.vectors()
+        x, valid = cache.vectors()
         count = min(candidates, cache.n)
         k = min(limit, count)
         top, raws, ranks, finite = pipe.funnel_pipeline(
-            x, valid, lex_order, lex_rank, jnp.asarray(q),
+            x, valid, jnp.asarray(q),
             metric=self.metric, stages=tuple(stages), count=count, limit=k,
         )
         top, raws, ranks, finite = jax.device_get((top, raws, ranks, finite))
@@ -779,11 +778,11 @@ class Collection:
             return [[] for _ in range(prepared.shape[0])]
         if prepared.shape[0] == 0:
             return []
-        x, valid, lex_order, lex_rank = cache.vectors()
+        x, valid = cache.vectors()
         count = min(candidates, cache.n)
         k = min(limit, count)
         top, raws, ranks, finite = jax.device_get(pipe.funnel_pipeline_batch(
-            x, valid, lex_order, lex_rank, jnp.asarray(prepared),
+            x, valid, jnp.asarray(prepared),
             metric=self.metric, stages=tuple(stages), count=count, limit=k,
         ))
         out = []
@@ -808,13 +807,13 @@ class Collection:
             return [[] for _ in range(prepared.shape[0])]
         if prepared.shape[0] == 0:
             return []
-        x, valid, lex_order, _lex_rank = cache.vectors()
+        x, valid = cache.vectors()
         bits = cache.bits()
         qbits = pack_signs_u32(prepared)
         count = min(candidates, cache.n)
         k = min(limit, count)
         top, raws, ranks, finite = jax.device_get(pipe.quantized_pipeline_batch(
-            x, bits, valid, lex_order, jnp.asarray(prepared), jnp.asarray(qbits),
+            x, bits, valid, jnp.asarray(prepared), jnp.asarray(qbits),
             metric=self.metric, count=count, limit=k,
         ))
         out = []
@@ -873,7 +872,7 @@ class Collection:
         cache = self._scan_cache()
         if cache.n == 0:
             return []
-        x, valid, lex_order, _lex_rank = cache.vectors()
+        x, valid = cache.vectors()
         bits = cache.bits()
         qbits = u64_words_to_u32(
             pack_signs_u64_rows(q[None, :])[0].tolist(), self.dimensions
@@ -881,7 +880,7 @@ class Collection:
         count = min(candidates, cache.n)
         k = min(limit, count)
         top, raws, ranks, finite = pipe.quantized_pipeline(
-            x, bits, valid, lex_order, jnp.asarray(q), jnp.asarray(qbits),
+            x, bits, valid, jnp.asarray(q), jnp.asarray(qbits),
             metric=self.metric, count=count, limit=k,
         )
         top, raws, ranks, finite = jax.device_get((top, raws, ranks, finite))
@@ -917,10 +916,10 @@ class Collection:
         if cache.n == 0:
             return []
         tokens, counts = cache.multi_vectors()
-        _x, valid, lex_order, _lex_rank = cache.vectors()
+        _x, valid = cache.vectors()
         k = min(limit, cache.n)
         slots, scores, ok = _mv_pipeline(
-            tokens, counts, valid, lex_order, jnp.asarray(queries), metric=metric, limit=k
+            tokens, counts, valid, jnp.asarray(queries), metric=metric, limit=k
         )
         slots, scores, ok = jax.device_get((slots, scores, ok))
         if not bool(ok):
@@ -1005,10 +1004,10 @@ class Collection:
             stages = self._funnel_stages(opts.get("stages"), opts.get("dimensions"))
             if cache.n == 0:
                 return []
-            x, valid, lex_order, lex_rank = cache.vectors()
+            x, valid = cache.vectors()
             count = min(candidates, cache.n)
             slots, ok, finite = pipe.funnel_candidates_pipeline(
-                x, valid, lex_order, lex_rank, jnp.asarray(q),
+                x, valid, jnp.asarray(q),
                 metric=self.metric, stages=tuple(stages), count=count,
             )
             slots, ok, finite = jax.device_get((slots, ok, finite))
@@ -1024,14 +1023,14 @@ class Collection:
             if cache.n == 0:
                 return []
             bits = cache.bits()
-            _x, valid, lex_order, _lex_rank = cache.vectors()
+            _x, valid = cache.vectors()
             qbits = u64_words_to_u32(
                 pack_signs_u64_rows(q[None, :])[0].tolist(), self.dimensions
             )
             count = min(candidates, cache.n)
             slots, ok = jax.device_get(
                 pipe.quantized_candidates_pipeline(
-                    bits, valid, lex_order, jnp.asarray(qbits), count=count
+                    bits, valid, jnp.asarray(qbits), count=count
                 )
             )
             return [cache.ids[int(s)] for s, o in zip(slots, ok) if o]
@@ -1045,16 +1044,15 @@ class Collection:
         if rerank == "exact":
             if not candidate_ids:
                 return []
+            # ascending slots ARE lex order (the cache is id-sorted), which
+            # the stable-topk tie-break requires
             slots = np.array(sorted(cache.slot_of[id] for id in candidate_ids), dtype=np.int32)
-            # candidate arrays must be lex-sorted for the stable-topk tie-break
-            lex = np.argsort(np.array([cache.ids[s] for s in slots], dtype=str), kind="stable")
-            slots = slots[lex]
             bucket = _pow2_at_least(len(slots), 1)
             ok = np.zeros(bucket, dtype=bool)
             ok[: len(slots)] = True
             padded = np.zeros(bucket, dtype=np.int32)
             padded[: len(slots)] = slots
-            x, _valid, _lex_order, _lex_rank = cache.vectors()
+            x, _valid = cache.vectors()
             k = min(limit, len(slots))
             top, raws, ranks, finite = jax.device_get(
                 pipe.rerank_pipeline(
@@ -1085,9 +1083,8 @@ class Collection:
             if not candidate_ids:
                 return []
             tokens, counts = cache.multi_vectors()
+            # ascending slots ARE lex order (id-sorted cache)
             slots = np.array(sorted(cache.slot_of[id] for id in candidate_ids), dtype=np.int32)
-            lex = np.argsort(np.array([cache.ids[s] for s in slots], dtype=str), kind="stable")
-            slots = slots[lex]
             bucket = _pow2_at_least(len(slots), 1)
             ok = np.zeros(bucket, dtype=bool)
             ok[: len(slots)] = True
