@@ -145,12 +145,17 @@ def _sharded_search(mesh, x, a0, upi, upa, lex, rows, entries, queries, *,
         check_vma=False,
     )
     def step(x_b, a0_b, upi_b, upa_b, lex_b, rows_b, entries_b, q_b):
-        # local block has leading shard axis of size 1
+        # local block has leading shard axis of size 1. Beams hub-seed from
+        # the shard's top-by-level prefix (bulk slots are level-desc sorted;
+        # trailing pad slots have no adjacency and fall out of the beam).
+        cap = x_b.shape[1]
+        h = min(hnsw_device.hub_count(cap), cap)
         slots, raws, dists = hnsw_device._search_impl(
             x_b[0], a0_b[0], upi_b[0], upa_b[0], lex_b[0],
             entries_b[0, 0], entries_b[0, 1], q_b,
             metric=metric, lmax=lmax, ef=ef, limit=k,
-            max_steps=x_b.shape[1] + ef,
+            max_steps=hnsw_device.step_bound(ef),
+            hub_slots=jnp.arange(h, dtype=jnp.int32), hub_x=x_b[0][:h],
         )  # [b, k]
         # exclude pad nodes (row -1, e.g. the '__pad__' filler on empty
         # shards) BEFORE the merge — with finite distances they would
