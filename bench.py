@@ -279,21 +279,32 @@ def main():
 
         from vettore_tpu.ops.mmr import mmr_rerank
 
-        def hybrid_one(qv):
-            toks = [list(qv + token_noise * rng.normal(size=mv_d).astype(np.float32))
+        def query_tokens(qv):
+            return [list(qv + token_noise * rng.normal(size=mv_d).astype(np.float32))
                     for _ in range(4)]
+
+        def hybrid_one(qv, toks=None):
+            toks = toks if toks is not None else query_tokens(qv)
             results = mv_col.hybrid_search(
-                list(qv), limit=30, rerank=("multi_vector", toks))
+                list(qv), limit=30,
+                generators=[("hnsw", {"candidates": 500}),
+                            ("quantized", {"candidates": 500})],
+                rerank=("multi_vector", toks))
             initial = [(r.id, float(r.score)) for r in results]
             pool = [(r.id, list(np.asarray(mv_col.get(r.id).vector))) for r in results]
-            return mmr_rerank(initial, pool, "cosine", 0.5, 10)
+            return results, mmr_rerank(initial, pool, "cosine", 0.5, 10)
 
-        # oracle: exact MaxSim over ALL docs via multi_vector_search
+        # oracle: exact MaxSim over ALL docs via multi_vector_search.
+        # Overlap is measured BEFORE the MMR step — MMR diversifies away
+        # from the pure top-10 by design, so post-MMR overlap conflates
+        # candidate recall with intentional reordering.
         sample = mv_queries[:8]
         agree = []
         for qv in sample:
-            hybrid_ids = [id for id, _ in hybrid_one(qv)]
-            exact = mv_col.multi_vector_search([list(qv)], limit=10)
+            toks = query_tokens(qv)
+            results, _reranked = hybrid_one(qv, toks)
+            hybrid_ids = [r.id for r in results[:10]]
+            exact = mv_col.multi_vector_search(toks, limit=10)
             agree.append(len(set(hybrid_ids) & {r.id for r in exact}) / 10)
         t0 = time.perf_counter()
         for qv in mv_queries[8:24]:
