@@ -176,7 +176,8 @@ class TestAdaptiveModes:
         records) must produce byte-identical embeddings to the per-record
         pipeline."""
         rng = np.random.default_rng(3)
-        d, t = 8, 3
+        # t/d large enough that an f32 (vs f64) mean would diverge
+        d, t = 64, 33
         records = [
             {"id": f"m-{i:04d}", "vectors": rng.normal(size=(t, d)).tolist()}
             for i in range(300)
@@ -237,6 +238,16 @@ class TestAdaptiveModes:
         results = col.funnel_search(corpus[2][1], stages=[2, 4], candidates=12, limit=5)
         assert len(results) == 5
         assert len({r.id for r in results}) == 5
+
+    def test_negative_ndarray_binary_vector_rejected(self, corpus):
+        """Signed numpy arrays must not silently WRAP under the uint64 cast
+        (only Python ints raise OverflowError on negatives)."""
+        col = make_collection(corpus)
+        rec = col.all()[0]
+        rec.binary_vector = np.array([-1], dtype=np.int64)
+        col.refresh()
+        with pytest.raises(errors.InvalidBinaryVector):
+            col.quantized_search(corpus[0][1], candidates=12, limit=5)
 
     def test_quantized_small_candidates(self, corpus):
         col = make_collection(corpus)

@@ -121,6 +121,24 @@ class TestMeshHnswCollection:
         got = sharded.search(list(extra[1]), limit=3)
         assert got[0].id == "new-1"
 
+    def test_tiny_corpus_few_rows_per_shard(self):
+        """Fewer rows per shard than the hub seed count must not crash, and
+        zero-vector pad rows must not displace real candidates."""
+        mesh = make_mesh(data=2)
+        rng = np.random.default_rng(2)
+        vecs = rng.normal(size=(10, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        col = vt.Collection(name="tiny", dimensions=16, metric="cosine",
+                            index="hnsw", mesh=mesh, **self.OPTS)
+        col.put_many([
+            {"id": f"t-{i:02d}", "vector": [float(v) for v in vecs[i]]}
+            for i in range(10)
+        ])
+        got = col.search(list(vecs[4]), limit=5)
+        assert got[0].id == "t-04"
+        assert len(got) == 5
+        assert all(r.id.startswith("t-") for r in got)
+
     def test_delete_masks_graph_hits(self):
         sharded, single, records, vectors = make_pair(index="hnsw", **self.OPTS)
         sharded.delete("doc-010")

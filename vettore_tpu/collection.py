@@ -185,6 +185,12 @@ class _VectorCache:
         with_bv = [i for i, r in enumerate(self.records) if r.binary_vector is not None]
         without = [i for i, r in enumerate(self.records) if r.binary_vector is None]
         if with_bv:
+            for i in with_bv:
+                bv = self.records[i].binary_vector
+                # signed numpy arrays would WRAP under a uint64 cast (only
+                # Python ints raise OverflowError on negatives)
+                if isinstance(bv, np.ndarray) and bv.dtype.kind in "if" and (bv < 0).any():
+                    raise E.InvalidBinaryVector("invalid binary vector")
             try:
                 words = np.asarray(
                     [self.records[i].binary_vector for i in with_bv], dtype=np.uint64
@@ -361,7 +367,8 @@ class Collection:
             from .parallel.collection_mesh import MeshFlatIndex, MeshHnswIndex
 
             if index == "flat":
-                return MeshFlatIndex(metric, index_options or None, mesh=mesh)
+                return MeshFlatIndex(metric, index_options or None, mesh=mesh,
+                                     storage="bf16" if compressed else "f32")
             return MeshHnswIndex(metric, index_options, mesh=mesh)
         if index == "flat":
             # the reference's `compressed` trades CPU for ETS memory; the
@@ -568,7 +575,11 @@ class Collection:
         n, t, d = tokens.shape
         normalized = normalize_rows(tokens.reshape(n * t, d), self.normalize)
         normalized = normalized.reshape(n, t, d)
-        primary = normalize_rows(normalized.mean(axis=1), self.normalize)
+        # mean in f64 over the (f32) normalized tokens — byte parity with
+        # _prepare_one's per-record pipeline
+        primary = normalize_rows(
+            normalized.astype(np.float64).mean(axis=1), self.normalize
+        )
         packed = pack_signs_u64_rows(primary)
         return [
             Embedding(id=id, value=value,

@@ -27,6 +27,7 @@ stay reference-deterministic.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -542,9 +543,14 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int | None = No
     if wave is None:
         # bigger waves amortize dispatch + per-step fixed costs; bounded by
         # the [B, n/32] visited carry and the [B, B] intra-wave peer matrix
-        wave = 4096 if n >= 2**17 else (2048 if n >= 2**14 else 1024)
+        env_wave = os.environ.get("VETTORE_BUILD_WAVE")
+        if env_wave:
+            wave = int(env_wave)
+        elif n >= 2**19:
+            wave = 8192  # ~20% faster steady-state than 4096 at 1M
+        else:
+            wave = 4096 if n >= 2**17 else (2048 if n >= 2**14 else 1024)
 
-    import os
     import time as _time
 
     from .hnsw_device import hub_count

@@ -5,12 +5,14 @@ The TPU-native redesign of the reference's pointer-chasing query path
 (``[N, m0]`` int32, -1 padded; compacted ``[U, L, m]`` for upper layers), and
 a query batch traverses it inside one jitted program —
 
-* **hub seeding instead of greedy descent** (single-chip path): the upper
-  hierarchy's job is finding a good layer-0 entry; on TPU one dense
-  ``[B, H] = Q · hubsᵀ`` MXU matmul against the top-H nodes by level does it
-  better — it yields S independent seeds per query in microseconds, while a
-  pointer-chasing descent costs a sequential gather chain. The mesh path
-  (``parallel.hnsw_mesh``) still uses the reference-shaped greedy descent;
+* **hub seeding instead of greedy descent**: the upper hierarchy's job is
+  finding a good layer-0 entry; on TPU one dense ``[B, H] = Q · hubsᵀ`` MXU
+  matmul against the top-H nodes by level does it better — it yields S
+  independent seeds per query in microseconds, while a pointer-chasing
+  descent costs a sequential gather chain. Both the single-chip path and
+  the mesh path (``parallel.hnsw_mesh``, with pad rows masked via
+  ``hub_valid``) seed this way; the descent code remains for callers that
+  pass no hubs;
 * a widened beam at layer 0: each step expands the ``W`` best unexpanded
   beam entries, gathers their ``W*m0`` neighbor vectors, scores them on the
   MXU, masks visited nodes with a per-query bitset, and keeps the best ``ef``
@@ -157,19 +159,21 @@ class DeviceGraph:
 
 def _search_impl(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, queries,
                  *, metric, lmax, ef, limit, max_steps, xb=None, expand_w=None,
-                 hub_slots=None, hub_x=None):
+                 hub_slots=None, hub_x=None, hub_valid=None):
     """Traceable core of the batched beam search (also reused per-shard
     inside ``parallel.hnsw_mesh``'s shard_map). ``xb`` is the optional bf16
     traversal block (defaults to ``x``: full-f32 parity mode). When
     ``hub_slots``/``hub_x`` are given the beam seeds from a dense hub scan
-    instead of the greedy upper-layer descent."""
+    instead of the greedy upper-layer descent; ``hub_valid`` masks hub rows
+    that are padding (sharded blocks pad with zero vectors, which would
+    otherwise score finitely and displace real seeds)."""
     n = x.shape[0]
     m0 = a0.shape[1]
     words = (n + 31) // 32
     xt = x if xb is None else xb
     W = min(expand_w or EXPAND_W, ef)
     use_hubs = hub_slots is not None
-    S = min(ef, max(W, 8)) if use_hubs else 1
+    S = min(ef, max(W, 8), hub_x.shape[0] if use_hubs else ef) if use_hubs else 1
 
     def one(q):
         qt = q.astype(xt.dtype)
@@ -183,13 +187,19 @@ def _search_impl(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, que
             # ---- hub seeding: one dense MXU scan of the top-H-by-level
             # nodes replaces the sequential greedy descent
             hd = _rank_rows(hub_x, qt, metric)
+            if hub_valid is not None:
+                hd = jnp.where(hub_valid, hd, jnp.inf)
             neg, hpos = jax.lax.top_k(-hd, S)
-            seeds = hub_slots[hpos]
-            beam_d = beam_d.at[:S].set(-neg)
+            ok_seed = jnp.isfinite(-neg)
+            seeds = jnp.where(ok_seed, hub_slots[hpos], -1)
+            beam_d = beam_d.at[:S].set(jnp.where(ok_seed, -neg, jnp.inf))
             beam_id = beam_id.at[:S].set(seeds)
-            # top_k positions are distinct, so the scatter-add stays exact
-            visited = visited.at[seeds >> 5].add(
-                jnp.uint32(1) << jnp.uint32(seeds & 31)
+            # top_k positions are distinct, so the scatter-add stays exact;
+            # masked seeds scatter out of range and drop
+            widx = jnp.where(ok_seed, jnp.maximum(seeds, 0) >> 5, words)
+            visited = visited.at[widx].add(
+                jnp.uint32(1) << jnp.uint32(jnp.maximum(seeds, 0) & 31),
+                mode="drop",
             )
         else:
             # ---- greedy descent over upper layers (hnsw.rs:302-305,336-372).

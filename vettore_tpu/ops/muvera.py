@@ -175,7 +175,6 @@ def _encode(vectors, config, mode: str) -> list:
     rep_size = partitions * proj_dim
 
     out = np.zeros(reps * rep_size, dtype=np.float32)
-    counts = np.zeros(reps * partitions, dtype=np.int64)
 
     identity = proj_dim == dims
     sign_seed = (seed + 17) & U64_MAX
@@ -226,7 +225,6 @@ def _encode(vectors, config, mode: str) -> list:
             if not np.isfinite(nxt).all() or (np.abs(nxt) > F32_MAX).any():
                 raise EncodingOverflow("encoding overflow")
             out[gather] = nxt.astype(np.float32)
-            counts[rep * partitions + p_sel] += 1
 
     final_dim = cfg["final_projection_dimension"]
     if final_dim is not None:
@@ -336,6 +334,8 @@ def _encode_batch(vector_sets, config, mode: str) -> np.ndarray:
                 # first member of every (set, partition) group lands in
                 # untouched zero slots: pure scatter, no gather — this round
                 # covers the vast majority of tokens
+                if not np.isfinite(values).all() or (np.abs(values) > F32_MAX).any():
+                    raise EncodingOverflow("encoding overflow")
                 out[gather] = values.astype(np.float32)
                 continue
             current = out[gather].astype(np.float64)
@@ -343,14 +343,12 @@ def _encode_batch(vector_sets, config, mode: str) -> np.ndarray:
                 nxt = current + values
             else:
                 nxt = current + (values - current) / (j + 1)
+            # check the f64 value BEFORE the f32 store (same boundary as the
+            # per-set encoder: a value in the half-ULP window above F32_MAX
+            # would round down to a finite f32 and escape a post-hoc check)
+            if not np.isfinite(nxt).all() or (np.abs(nxt) > F32_MAX).any():
+                raise EncodingOverflow("encoding overflow")
             out[gather] = nxt.astype(np.float32)
-
-    # overflow detection once at the end: an f32-overflowing store becomes
-    # +-inf and inf/nan stick through both accumulation modes, so any
-    # intermediate overflow survives to this check (the per-set encoder
-    # checks per step; the raised error is identical)
-    if not np.isfinite(out).all():
-        raise EncodingOverflow("encoding overflow")
 
     final_dim = cfg["final_projection_dimension"]
     if final_dim is not None:

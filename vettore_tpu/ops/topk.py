@@ -55,11 +55,3 @@ def topk_exact(rank, lex_rank, *, limit: int):
     return s[:limit], r[:limit]
 
 
-@functools.partial(jax.jit, static_argnames=("limit",))
-def topk_desc(score, lex_order, *, limit: int):
-    """Highest-score-first selection with the same id tie-break (used by
-    MaxSim top-k, multi_vector.rs:22-31: higher score first, ties by
-    lexicographically smaller id). Invalid slots must be -inf."""
-    lex_scored = score[lex_order]
-    top, pos = jax.lax.top_k(lex_scored, limit)
-    return lex_order[pos], top

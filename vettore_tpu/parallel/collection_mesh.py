@@ -37,10 +37,11 @@ from .mesh import ShardedFlat
 class MeshFlatIndex(Index):
     """Flat exact index row-sharded over a device mesh."""
 
-    def __init__(self, metric: str, options=None, *, mesh):
+    def __init__(self, metric: str, options=None, *, mesh, storage: str = "f32"):
         self._host = FlatIndex(metric, options)
         self.metric = self._host.metric
         self.mesh = mesh
+        self.storage = storage
         self._sharded: ShardedFlat | None = None
         self._built_version = -1
         self._version = 0
@@ -87,7 +88,8 @@ class MeshFlatIndex(Index):
             return
         live = sorted(host._slot_of)
         rows = np.stack([host._host_x[host._slot_of[id]] for id in live])
-        self._sharded = ShardedFlat(self.metric, self.mesh, live, rows)
+        self._sharded = ShardedFlat(self.metric, self.mesh, live, rows,
+                                    storage=self.storage)
         self._built_version = self._version
         self._mask_dirty = []
 
@@ -188,7 +190,10 @@ class MeshHnswIndex(Index):
             self._sharded.search_batch(queries, k_graph) if k_graph else
             [[] for _ in range(len(queries))]
         )
-        pending_pairs = [(id, self._rows_for([id])[0]) for id in pending]
+        pending_rows = self._rows_for(pending) if pending else None
+        pending_pairs = (
+            [(id, pending_rows[i]) for i, id in enumerate(pending)] if pending else []
+        )
         dims = self._host.dimension
         out = []
         for qi, q in enumerate(queries):

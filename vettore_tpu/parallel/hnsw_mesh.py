@@ -156,6 +156,8 @@ def _sharded_search(mesh, x, a0, upi, upa, lex, rows, entries, queries, *,
             metric=metric, lmax=lmax, ef=ef, limit=k,
             max_steps=hnsw_device.step_bound(ef),
             hub_slots=jnp.arange(h, dtype=jnp.int32), hub_x=x_b[0][:h],
+            # zero-vector pad rows score finitely; mask them out of seeding
+            hub_valid=rows_b[0][:h] >= 0,
         )  # [b, k]
         # exclude pad nodes (row -1, e.g. the '__pad__' filler on empty
         # shards) BEFORE the merge — with finite distances they would

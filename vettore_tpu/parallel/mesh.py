@@ -100,9 +100,10 @@ class ShardedFlat:
     single-chip design).
     """
 
-    def __init__(self, metric: str, mesh: Mesh, ids, vectors):
+    def __init__(self, metric: str, mesh: Mesh, ids, vectors, *, storage: str = "f32"):
         self.metric = metric
         self.mesh = mesh
+        self.storage = storage
         shards = mesh.shape["shard"]
         vectors = np.asarray(vectors, dtype=np.float32)
         n, d = vectors.shape
@@ -111,6 +112,11 @@ class ShardedFlat:
         cap = max(shards, math.ceil(n / shards) * shards)
         x = np.zeros((cap, d), dtype=np.float32)
         x[:n] = vectors
+        if storage == "bf16":
+            # half the at-rest HBM per shard; scoring upcasts to f32
+            import ml_dtypes
+
+            x = x.astype(ml_dtypes.bfloat16)
         valid = np.zeros(cap, dtype=bool)
         valid[:n] = True
         order = np.argsort(np.array(ids, dtype=str), kind="stable")
