@@ -169,8 +169,11 @@ class _VectorCache:
             mat[: self.n] = self._stack_vectors()
         valid = np.zeros(self.cap, dtype=bool)
         valid[: self.n] = True
-        # records are lex-sorted, so slot order IS id order
-        self._x = (jnp.asarray(mat), jnp.asarray(valid))
+        from .ops.transport import put_f32_matrix
+
+        # records are lex-sorted, so slot order IS id order; bf16-exact
+        # blocks ship as 16-bit halves (bit-identical on device)
+        self._x = (put_f32_matrix(mat), jnp.asarray(valid))
         return self._x
 
     def bits(self):
@@ -611,6 +614,56 @@ class Collection:
             self._store.put_many(prepared)
             try:
                 self._index.put_many([(e.id, e.vector) for e in prepared])
+            except Exception:
+                for e in prepared:
+                    self._index.delete(e.id)
+                    self._store.delete(e.id)
+                raise
+            finally:
+                self._bump()
+
+    @observed("put_matrix")
+    def put_matrix(self, ids, matrix, *, values=None, metadata=None) -> None:
+        """Bulk ingest from an [n, d] matrix with one row per id — the
+        million-row path (vectorized validate / normalize / sign-pack; no
+        per-record Python). Per-record ``binary_vector`` is stored as a
+        uint64 ndarray row (accepted everywhere a word list is)."""
+        matrix = np.ascontiguousarray(matrix, dtype=np.float64)
+        if matrix.ndim != 2:
+            raise E.InvalidVector("matrix must be [n, d]")
+        if matrix.shape[1] != self.dimensions:
+            raise E.DimensionMismatch("dimension mismatch")
+        if len(ids) != matrix.shape[0]:
+            raise E.InvalidVector("ids and matrix row count differ")
+        if not np.isfinite(matrix).all() or (np.abs(matrix) > F32_MAX).any():
+            raise E.InvalidVector("vector contains a non-finite value")
+        ids = [str(i) for i in ids]
+        if any(not i for i in ids):
+            raise E.MissingId("embedding needs an id or a non-empty string value")
+        normalized = normalize_rows(matrix, self.normalize)
+        packed = pack_signs_u64_rows(normalized)
+        prepared = [
+            Embedding(
+                id=id,
+                value=(values[i] if values is not None else id),
+                vector=normalized[i],
+                vectors=None,
+                binary_vector=packed[i],
+                metadata=(metadata[i] if metadata is not None else None),
+            )
+            for i, id in enumerate(ids)
+        ]
+        with self._write_lock:
+            self.ensure_open()
+            self._store.put_many(prepared)
+            try:
+                index_bulk = getattr(self._index, "put_matrix", None)
+                if callable(index_bulk) and not any(
+                    i in getattr(self._index, "_slot_of", {}) for i in ids
+                ):
+                    index_bulk(ids, normalized.astype(np.float32))
+                else:
+                    self._index.put_many([(e.id, e.vector) for e in prepared])
             except Exception:
                 for e in prepared:
                     self._index.delete(e.id)

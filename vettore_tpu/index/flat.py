@@ -231,6 +231,40 @@ class FlatIndex(Index):
             self._dim = expected
         self._dirty = True
 
+    def put_matrix(self, ids, matrix) -> None:
+        """Bulk insert from an [n, d] f32 matrix with one row per id —
+        the zero-copy ingest path for million-row corpora (no per-row Python
+        objects; the reference's batched ``put_many`` analog at matrix
+        granularity, flat.rs:59-85). Ids must be unique and not yet present;
+        mixed insert-or-replace batches go through :meth:`put_many`."""
+        matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+        if matrix.ndim != 2 or matrix.shape[1] == 0:
+            raise InvalidVector("matrix must be [n, d] with d > 0")
+        if len(ids) != matrix.shape[0]:
+            raise InvalidVector("ids and matrix row count differ")
+        expected = self._dim if self._dim is not None else matrix.shape[1]
+        if matrix.shape[1] != expected:
+            raise DimensionMismatch("dimension mismatch")
+        with np.errstate(invalid="ignore"):
+            if not np.isfinite(matrix).all():
+                raise InvalidVector("vector contains a non-finite value")
+        ids = [str(i) for i in ids]
+        if len(set(ids)) != len(ids):
+            raise InvalidVector("duplicate ids in matrix batch")
+        if any(i in self._slot_of for i in ids):
+            raise InvalidVector("put_matrix ids must not already exist")
+        self._reserve(len(self._slot_of) + len(ids), expected)
+        # fresh ids take the tail of the free list in one vectorized strip
+        slots = np.array([self._free.pop() for _ in ids], dtype=np.int64)
+        for id, slot in zip(ids, slots):
+            self._slot_of[id] = int(slot)
+            self._ids[int(slot)] = id
+        self._host_x[slots] = matrix
+        self._valid[slots] = True
+        if self._dim is None:
+            self._dim = expected
+        self._dirty = True
+
     def delete(self, id: str) -> None:
         slot = self._slot_of.pop(id, None)
         if slot is None:
@@ -288,7 +322,11 @@ class FlatIndex(Index):
             self._host_x.astype(np.float32) ** 2, axis=1, keepdims=True, dtype=np.float32
         )
         bias = np.where(self._valid[:, None], np.float32(0.0), np.float32(np.inf))
-        device_x = jnp.asarray(self._host_x)
+        from ..ops.transport import put_f32_matrix
+
+        # ships 16-bit halves when the block is bf16-exact (bit-identical
+        # reconstruction) — halves upload time on the tunnel-limited link
+        device_x = put_f32_matrix(self._host_x)
         if self.storage == "bf16":
             device_x = device_x.astype(jnp.bfloat16)
         self._device = (

@@ -31,6 +31,7 @@ from ..errors import (
     InvalidHnswOptions,
     InvalidVector,
     UnsupportedHnswMetric,
+    VettoreError,
 )
 from ..metrics import normalize_metric
 from .base import Index
@@ -233,6 +234,55 @@ class HnswIndex(Index):
         self._version += 1
         self._device = self._bulk
         self._device_version = self._version
+
+    def bulk_ingest_device(self, ids, x_device) -> None:
+        """Bulk-builds the graph from an already-device-resident [n, d] f32
+        block in ``ids`` order (e.g. a flat index's block) — no host→device
+        re-transfer. Only valid on an empty index."""
+        from . import hnsw_build
+
+        if self._bulk is not None or self._vectors:
+            raise VettoreError("bulk_ingest_device requires an empty index",
+                               reason="not_empty")
+        self._bulk = hnsw_build.bulk_build(self.metric, self.params,
+                                           [str(i) for i in ids], x_device=x_device)
+        self._dim = int(x_device.shape[1])
+        self._version += 1
+        self._device = self._bulk
+        self._device_version = self._version
+
+    def save_graph(self, path: str, *, include_x: bool = True) -> None:
+        """Serializes the device graph as a rebuildable acceleration cache
+        (see hnsw_build.save_graph). Only bulk-built graphs serialize — a
+        host-incremental graph is already cheap to reconstruct."""
+        if self._bulk is None:
+            raise VettoreError(
+                "only bulk-built graphs can be saved", reason="not_bulk_built"
+            )
+        from . import hnsw_build
+
+        hnsw_build.save_graph(self._bulk, path, include_x=include_x)
+
+    @classmethod
+    def load_graph(cls, metric: str, options: dict | None, path: str, *,
+                   x_device=None) -> "HnswIndex":
+        """Builds an index around a graph saved by :meth:`save_graph`.
+        ``x_device`` optionally shares an existing device-resident [n, d]
+        block (graph slot order) instead of re-transferring vectors."""
+        from . import hnsw_build
+
+        index = cls(metric, options)
+        graph = hnsw_build.load_graph(path, x_device=x_device)
+        if graph.metric != index.metric:
+            raise UnsupportedHnswMetric(
+                f"graph metric {graph.metric!r} != index metric {index.metric!r}"
+            )
+        index._bulk = graph
+        index._dim = int(graph.x.shape[1])
+        index._version += 1
+        index._device = graph
+        index._device_version = index._version
+        return index
 
     def _hydrate_bulk(self):
         """Converts a bulk-built device graph back into the incremental host

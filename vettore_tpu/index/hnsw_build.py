@@ -156,6 +156,79 @@ class BulkGraph:
         return self._hubs[key]
 
 
+GRAPH_MAGIC = "vettore-tpu-hnsw-graph-v1"
+
+
+def save_graph(graph: BulkGraph, path: str, *, include_x: bool = True) -> None:
+    """Serializes a bulk-built graph to an ``.npz`` (atomic tmp+rename).
+
+    The graph is an *acceleration structure* — the canonical data always
+    lives in the host store (reference invariant, README.md:410-415) — so
+    this is a cache format, not a durability format: rebuilding from
+    canonical records must always produce an equivalent graph. ``include_x=
+    False`` omits the [n, d] vector block for callers that already hold the
+    same vectors device-resident (pass ``x_device`` at load)."""
+    import tempfile
+
+    payload = {
+        "magic": np.array(GRAPH_MAGIC),
+        "ids": np.array(graph.ids, dtype=str),
+        "n": np.int64(graph.n),
+        "m": np.int64(graph.m),
+        "m0": np.int64(graph.m0),
+        "lmax": np.int64(graph.lmax),
+        "metric": np.array(graph.metric),
+        "a0": np.asarray(graph.a0),
+        "up_index": np.asarray(graph.up_index),
+        "up_adj": np.asarray(graph.up_adj),
+        "lex_rank": np.asarray(graph.lex_rank),
+        "entry_slot": np.int64(int(graph.entry_slot)),
+        "entry_level": np.int64(int(graph.entry_level)),
+        "levels": np.asarray(graph.levels),
+    }
+    if include_x:
+        payload["x"] = np.asarray(graph.x)
+    dirname = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(dirname, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_graph(path: str, *, x_device=None) -> BulkGraph:
+    """Loads a graph saved by :func:`save_graph`. ``x_device`` supplies the
+    [n, d] device-resident vector block in graph slot order when the file was
+    written with ``include_x=False`` (or to share one HBM copy)."""
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["magic"]) != GRAPH_MAGIC:
+            raise ValueError(f"not a vettore graph file: {path}")
+        ids = [str(i) for i in z["ids"]]
+        n = int(z["n"])
+        if x_device is not None:
+            x = x_device
+            if x.shape[0] != n:
+                raise ValueError("x_device row count does not match graph")
+        elif "x" in z:
+            x = jnp.asarray(z["x"])
+        else:
+            raise ValueError("graph file has no vector block; pass x_device")
+        return BulkGraph(
+            ids=ids, n=n, m=int(z["m"]), m0=int(z["m0"]), lmax=int(z["lmax"]),
+            metric=str(z["metric"]), x=x,
+            a0=jnp.asarray(z["a0"]), up_index=jnp.asarray(z["up_index"]),
+            up_adj=jnp.asarray(z["up_adj"]), lex_rank=jnp.asarray(z["lex_rank"]),
+            entry_slot=jnp.int32(int(z["entry_slot"])),
+            entry_level=jnp.int32(int(z["entry_level"])),
+            levels=np.asarray(z["levels"]),
+        )
+
+
 #: beam entries expanded per construct-search iteration (same widened-beam
 #: scheme as the query kernel: exploration only grows at a given ef, while
 #: sequential depth and per-step merge cost drop ~W-fold)
@@ -500,11 +573,18 @@ def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_m
     return a0, up_adj
 
 
-def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int | None = None,
-               beam_steps: int | None = None) -> BulkGraph:
-    """Builds a full graph from scratch on device; returns a BulkGraph."""
-    vectors = np.asarray(vectors, dtype=np.float32)
-    n, d = vectors.shape
+def bulk_build(metric: str, params: dict, ids, vectors=None, *, wave: int | None = None,
+               beam_steps: int | None = None, x_device=None) -> BulkGraph:
+    """Builds a full graph from scratch on device; returns a BulkGraph.
+
+    Vectors come from ``vectors`` (host [n, d], uploaded once) or
+    ``x_device`` (an existing device-resident [n, d] block in ``ids`` order —
+    e.g. a flat index's block — permuted on device, no re-transfer)."""
+    if x_device is not None:
+        n, d = int(x_device.shape[0]), int(x_device.shape[1])
+    else:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n, d = vectors.shape
     max_level = params["max_level"]
     m, m0, efc = params["m"], params["m0"], params["ef_construction"]
 
@@ -517,7 +597,6 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int | None = No
     id_arr = np.array([str(i) for i in ids], dtype=str)
     order = np.lexsort((id_arr, -levels))  # (level desc, id asc)
     ids_sorted = [str(id_arr[i]) for i in order]
-    x = vectors[order]
     levels = levels[order]
 
     lex = np.argsort(np.array(ids_sorted, dtype=str), kind="stable")
@@ -530,7 +609,12 @@ def bulk_build(metric: str, params: dict, ids, vectors, *, wave: int | None = No
     up_index[upper] = np.arange(len(upper), dtype=np.int32)
     cap_up = len(upper)
 
-    xd = jnp.asarray(x)
+    if x_device is not None:
+        xd = x_device[jnp.asarray(order.astype(np.int32))]
+    else:
+        from ..ops.transport import put_f32_matrix
+
+        xd = put_f32_matrix(vectors[order])
     xt = xd.astype(jnp.bfloat16)  # selection-only traversal block
     a0 = jnp.full((n + 1, m0), -1, jnp.int32)
     up_adj = jnp.full((cap_up + 1, max(lmax, 1), m), -1, jnp.int32)
