@@ -151,8 +151,8 @@ class TestSearchBatch:
         assert dict(res[1])["small"] == 1.0
 
 
-class TestFusedPallasScan:
-    """The fused Pallas scan must match the XLA path exactly (ids and
+class TestFusedGroupScan:
+    """The fused group-min scan must match the XLA path exactly (ids and
     tie-break) once the index is large enough to trigger it."""
 
     @pytest.mark.parametrize("metric", ["cosine", "l2", "inner_product",
@@ -164,7 +164,7 @@ class TestFusedPallasScan:
         data[5] = data[6]  # exercise ties
         index = FlatIndex(metric)
         index.put_many((f"doc-{i:05d}", data[i]) for i in range(n))
-        assert index._fused_row_tile(8, 3) is not None
+        assert index._fused_eligible(8)
         queries = data[[3, 100, 700]]
         fused = index.search_batch(queries, 8)
         # force the XLA path for comparison
@@ -213,7 +213,7 @@ class TestFusedPallasScan:
         pairs = [(f"p{i:04d}", [1.0, 1.0]) for i in range(1100)]
         pairs.append(("big", [F32_MAX, F32_MAX]))
         index.put_many(pairs)
-        assert index._fused_row_tile(4, 1) is not None
+        assert index._fused_eligible(4)
         res = index.search_batch(np.array([[2.0, -2.0]]), 4)
         assert dict(res[0]).get("big") == 0.0
 
@@ -230,3 +230,25 @@ class TestOverflowRecovery:
         index.put("big", [1.0e20])
         with pytest.raises(errors.MetricOverflow):
             index.search([0.0], 1)
+
+
+class TestGroupScanTieSpill:
+    def test_mass_tie_falls_back_to_exact_host(self):
+        # every row identical: all ranks tie across >slack groups, which must
+        # raise the fallback flag and still return the lex-smallest ids
+        n, d = 2048, 8
+        index = FlatIndex("cosine")
+        index.put_many((f"doc-{i:05d}", [1.0] + [0.0] * (d - 1)) for i in range(n))
+        assert index._fused_eligible(8)
+        hits = index.search([1.0] + [0.0] * (d - 1), 8)
+        assert [h[0] for h in hits] == [f"doc-{i:05d}" for i in range(8)]
+
+    def test_partial_tie_within_slack_stays_on_device(self):
+        rng = np.random.default_rng(99)
+        n, d = 2048, 8
+        data = rng.normal(size=(n, d)).astype(np.float32)
+        data[100] = data[500] = data[900]  # 3-way tie, within slack
+        index = FlatIndex("l2")
+        index.put_many((f"doc-{i:05d}", data[i]) for i in range(n))
+        hits = index.search(data[900], 5)
+        assert [h[0] for h in hits[:3]] == ["doc-00100", "doc-00500", "doc-00900"]

@@ -52,7 +52,7 @@ def main():
 
     t0 = time.time()
 
-    # ---- flat exact (fused Pallas path: n=6000 > 1024 threshold) vs host
+    # ---- flat exact (fused group-min scan: n=6000 > 1024 threshold) vs host
     col = vt.Collection(name="smoke", dimensions=d, metric="cosine", index="flat")
     col.put_many(records)
     pairs = [(id, data[i]) for i, id in enumerate(ids)]
@@ -62,7 +62,7 @@ def main():
         assert [g[0] for g in got] == [w[0] for w in want], (got, want)
         for g, w in zip(got, want):
             assert abs(g[1] - w[1]) < 1e-4, (g, w)
-    print(f"[smoke] flat/pallas parity ok ({time.time()-t0:.0f}s)", flush=True)
+    print(f"[smoke] flat/fused-scan parity ok ({time.time()-t0:.0f}s)", flush=True)
 
     # batched path agrees with single-query path
     single = [ [r.id for r in col.search(list(q), limit=5)] for q in queries[:4] ]

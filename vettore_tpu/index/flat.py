@@ -341,15 +341,13 @@ class FlatIndex(Index):
         )
         self._dirty = False
 
-    def _fused_row_tile(self, k: int, batch: int):
-        """Row tile for the fused Pallas path, or None when the XLA path
-        should be used (unsupported metric, small index, k too large, or no
-        tile fits the VMEM budget at this batch size)."""
-        from ..ops.pallas_scan import MAX_FUSED_K, PALLAS_METRICS, pick_row_tile
+    def _fused_eligible(self, k: int) -> bool:
+        """Whether the fused group-min scan (ops/flat_scan.py) handles this
+        search; small blocks and exotic metrics take the elementwise XLA
+        path (group selection only pays off past a few row tiles)."""
+        from ..ops import flat_scan
 
-        if self.metric not in PALLAS_METRICS or k > MAX_FUSED_K or self._cap < 1024:
-            return None
-        return pick_row_tile(self._host_x.shape[1], batch, self._cap)
+        return self._cap >= 1024 and flat_scan.supports(self.metric, self._cap, k)
 
     def search(self, query, limit: int) -> list:
         """Returns up to ``limit`` ``(id, raw)`` hits, best-first with
@@ -363,14 +361,13 @@ class FlatIndex(Index):
         self._sync_device()
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
-        row_tile = self._fused_row_tile(k, 1)
-        if row_tile:
-            from ..ops.pallas_scan import fused_flat_search
+        if self._fused_eligible(k):
+            from ..ops.flat_scan import fused_flat_search
 
             xsq, bias, lex_rank = self._device_scan
             d_slots, d_raws, _d_ranks, d_fin = fused_flat_search(
                 x, xsq, bias, lex_rank, jnp.asarray(q, dtype=jnp.float32)[None, :],
-                metric=self.metric, k=k, row_tile=row_tile,
+                metric=self.metric, k=k,
             )
             packed = np.asarray(_pack_hits(d_slots, d_raws, d_fin))
             slots_b, raws_b, all_finite = _unpack_hits(packed, k)
@@ -415,14 +412,13 @@ class FlatIndex(Index):
         self._sync_device()
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
-        row_tile = self._fused_row_tile(k, qs.shape[0])
-        if row_tile:
-            from ..ops.pallas_scan import fused_flat_search
+        if self._fused_eligible(k):
+            from ..ops.flat_scan import fused_flat_search
 
             xsq, bias, lex_rank = self._device_scan
             d_slots, d_raws, _d_ranks, d_fin = fused_flat_search(
                 x, xsq, bias, lex_rank, jnp.asarray(qs, dtype=jnp.float32),
-                metric=self.metric, k=k, row_tile=row_tile,
+                metric=self.metric, k=k,
             )
             packed = np.asarray(_pack_hits(d_slots, d_raws, d_fin))
             slots, raws, fin = _unpack_hits(packed, k)
@@ -456,14 +452,12 @@ class FlatIndex(Index):
         self._sync_device()
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, max(len(self._slot_of), 1)), self._cap)
-        row_tile = self._fused_row_tile(k, queries_device.shape[0])
-        if row_tile:
-            from ..ops.pallas_scan import fused_flat_search
+        if self._fused_eligible(k):
+            from ..ops.flat_scan import fused_flat_search
 
             xsq, bias, lex_rank = self._device_scan
             slots, raws, _ranks, _fin = fused_flat_search(
                 x, xsq, bias, lex_rank, queries_device, metric=self.metric, k=k,
-                row_tile=row_tile,
             )
             return slots, raws
         slots, raws, _ranks, _fin = _search_kernel_batch(
