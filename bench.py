@@ -9,30 +9,48 @@ MaxSim (32 x 128d token vectors) -> MMR, each with an overlap@10 preflight
 against the exact oracle BEFORE timing (the reference bench discipline,
 /root/reference/bench/search_modes_bench.exs:193-238).
 
-Timing methodology: on this remote-device runtime ``block_until_ready`` does
-NOT block (dispatch is fully lazy until a fetch), so every timed region ends
-with a ``jax.device_get`` of the LAST output — in-order execution makes that
-fetch a barrier for the whole dispatched chain. Warmups also end with a
-fetch, because even compilation defers until a value is demanded.
+Operational design (this runtime's physics dictate all of it):
 
-Queries: corpus points + noise at the full cluster radius (norm 0.4), so the
-recall gate actually bites (round-1 used 0.2 and saturated at 1.0).
+* **Wall-clock budget** (`VETTORE_BENCH_BUDGET_S`, default 1050 s): every
+  phase is guarded; when the remaining budget can't cover a phase it is
+  skipped and recorded in ``detail["skipped"]``. SIGTERM/SIGALRM emit the
+  best-so-far JSON line and exit — the run NEVER ends without a result.
+  (Round 2's driver run timed out mid-ingest and recorded nothing.)
+* **Disk caches** (`VETTORE_BENCH_CACHE`, default /root/.cache/vettore_bench):
+  corpus generation costs ~8 min of single-core numpy at 1M x 768 and the
+  HNSW bulk build ~20 min on chip — both cache across runs (the graph via
+  ``HnswIndex.save_graph``, adjacency only; its vector block is re-derived
+  on device from the flat index's block, sharing one HBM copy).
+  ``python bench.py --prime-cache`` builds all caches without timing.
+* **Session tax**: the first device dispatch of a fresh process costs
+  3-9 MINUTES on this tunnel runtime (pool/session establishment) —
+  recorded as ``session_init_s``, excluded from nothing (the budget clock
+  is wall-clock), which is why every other phase must be cheap.
+* **Fetch barriers**: ``jax.block_until_ready`` does not block here and
+  compilation defers until a value is demanded; every warmup and timed
+  region ends with ``fetch_barrier`` (tiny dependent-slice device_get).
+* Timed dispatches rotate query slices so no functional caching or result
+  reuse can inflate QPS; latency percentiles come from a separate
+  serialized (fetch-per-dispatch) loop.
 
-Run: python bench.py              (full 1M x 768 headline config)
-     python bench.py --scale=300k / --scale=100k (smaller corpora)
-     python bench.py --smoke      (tiny, CI-style)
-     python bench.py --headline-only  (skip secondary-corpus modes)
+Run: python bench.py                   (headline scale by cache/budget)
+     python bench.py --scale=100k|300k|1m
+     python bench.py --smoke           (tiny, CI-style)
+     python bench.py --headline-only   (skip secondary modes)
+     python bench.py --prime-cache     (build corpus+graph caches, no timing)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import numpy as np
 
@@ -40,36 +58,100 @@ SEED = 20_260_721
 HNSW_PARAMS = {"m": 16, "m0": 32, "ef_construction": 100, "max_level": 12}
 EF_SWEEP = (16, 24, 32, 48, 64, 96, 128, 256, 512)
 RECALL_GATE = 0.95
+CACHE_DIR = os.environ.get("VETTORE_BENCH_CACHE", "/root/.cache/vettore_bench")
+BUDGET_S = float(os.environ.get("VETTORE_BENCH_BUDGET_S", "1050"))
+
+_T0 = time.monotonic()
+
+
+def left() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+# ---------------------------------------------------------------------------
+# result state + emergency emit
+# ---------------------------------------------------------------------------
+
+STATE = {
+    "metric": "startup",
+    "value": 0.0,
+    "unit": "qps",
+    "vs_baseline": 0.0,
+    "detail": {"skipped": [], "budget_s": BUDGET_S},
+}
+_EMITTED = False
+
+
+def emit(final=False):
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    STATE["detail"]["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(STATE), flush=True)
+
+
+def _on_signal(signum, frame):
+    STATE["detail"]["skipped"].append(f"signal_{signum}")
+    emit()
+    os._exit(0)
+
+
+def _phase(msg):
+    print(f"[bench] {left():.0f}s left | {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# data generation + caches
+# ---------------------------------------------------------------------------
+
+
+def _cache_path(name):
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    return os.path.join(CACHE_DIR, name)
 
 
 def clustered_corpus(n, d, n_clusters=None, cluster_radius=0.4, seed=SEED):
-    """Unit vectors in Gaussian clusters; ``cluster_radius`` is the expected
-    NOISE NORM (sigma = radius/sqrt(d)), so cluster tightness is
-    dimension-independent — real embedding corpora have this geometry, while
-    uniform random high-dim vectors are degenerate for any HNSW. Cluster
-    COUNT scales with n (~100 points per cluster) so per-query work is
-    scale-invariant rather than plateau-bound."""
+    """Unit vectors in Gaussian clusters (sigma = radius/sqrt(d); cluster
+    count ~n/100) — real-embedding-like geometry. Values are rounded to
+    bf16-representable f32 so host->device transport ships 16-bit halves
+    losslessly (ops/transport.py)."""
+    from vettore_tpu.ops.transport import round_to_bf16
+
     if n_clusters is None:
         n_clusters = max(1024, n // 100)
     rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(n_clusters, d)).astype(np.float32)
+    centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assignment = rng.integers(0, n_clusters, n)
-    sigma = cluster_radius / np.sqrt(d)
-    data = centers[assignment] + sigma * rng.normal(size=(n, d)).astype(np.float32)
+    sigma = np.float32(cluster_radius / np.sqrt(d))
+    data = centers[assignment] + sigma * rng.standard_normal((n, d), dtype=np.float32)
     data /= np.linalg.norm(data, axis=1, keepdims=True)
+    return round_to_bf16(data)
+
+
+def cached_corpus(n, d, seed=SEED, tag=""):
+    """Disk-cached corpus as u16 high halves (half the disk + lossless)."""
+    path = _cache_path(f"corpus{tag}_{n}x{d}_s{seed}.u16.npy")
+    if os.path.exists(path):
+        halves = np.load(path)
+        return (halves.astype(np.uint32) << 16).view(np.float32)
+    data = clustered_corpus(n, d, seed=seed)
+    np.save(path, (data.view(np.uint32) >> 16).astype(np.uint16))
     return data
 
 
-def make_queries(data, count, noise_norm=0.4):
+def make_queries(data, count, noise_norm=0.4, seed=SEED + 1):
     """Held-out queries: corpus points + noise at the cluster-radius norm."""
-    rng = np.random.default_rng(SEED + 1)
-    sigma = noise_norm / np.sqrt(data.shape[1])
-    qs = data[rng.integers(0, data.shape[0], count)] + sigma * rng.normal(
-        size=(count, data.shape[1])
-    ).astype(np.float32)
+    from vettore_tpu.ops.transport import round_to_bf16
+
+    rng = np.random.default_rng(seed)
+    sigma = np.float32(noise_norm / np.sqrt(data.shape[1]))
+    qs = data[rng.integers(0, data.shape[0], count)] + sigma * rng.standard_normal(
+        (count, data.shape[1]), dtype=np.float32
+    )
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
-    return qs.astype(np.float32)
+    return round_to_bf16(qs)
 
 
 def overlap_at_k(hits, truth, k=10):
@@ -81,7 +163,7 @@ def overlap_at_k(hits, truth, k=10):
     return float(np.mean(scores))
 
 
-def cpu_single_core_qps(data, queries, limit=10, count=8):
+def cpu_single_core_qps(data, queries, limit=10, count=4):
     """Single-core CPU exact scan in a constrained subprocess (stand-in for
     the reference's single-core Rust NIF flat scan)."""
     import tempfile
@@ -91,7 +173,7 @@ def cpu_single_core_qps(data, queries, limit=10, count=8):
         np.save(f"{tmp}/queries.npy", queries[:count])
         code = f"""
 import numpy as np, time
-data = np.load("{tmp}/data.npy", mmap_mode=None)
+data = np.load("{tmp}/data.npy")
 queries = np.load("{tmp}/queries.npy")
 scores = data @ queries[0]
 np.argpartition(-scores, {limit})[:{limit}]
@@ -111,239 +193,385 @@ print(len(queries) / (time.perf_counter() - t0))
         return float(out.stdout.strip().splitlines()[-1])
 
 
-def _phase(msg):
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
-
-
-def _force(out):
-    """Barrier: fetch a small leaf of the LAST dispatched output. In-order
-    device execution makes this wait for everything queued before it."""
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    jax.device_get(leaf)
+# ---------------------------------------------------------------------------
+# timing helpers
+# ---------------------------------------------------------------------------
 
 
 def timed_qps(dispatch, iters, per_iter_queries):
-    """dispatch() enqueues one batch and returns device output. Returns QPS
-    with a fetch-forced barrier after the timed loop."""
-    _force(dispatch())  # warm: compile + execute
+    """``dispatch(i)`` enqueues batch ``i`` (rotating inputs so no functional
+    reuse can skip work) and returns device output. Pipelined loop: one fetch
+    barrier at the end."""
+    from vettore_tpu.ops.transport import fetch_barrier
+
+    fetch_barrier(dispatch(0))  # warm: compile + execute
     t0 = time.perf_counter()
     last = None
-    for _ in range(iters):
-        last = dispatch()
-    _force(last)
+    for i in range(iters):
+        last = dispatch(i)
+    fetch_barrier(last)
     return per_iter_queries * iters / (time.perf_counter() - t0)
+
+
+def timed_percentiles(dispatch, iters=10):
+    """Serialized per-dispatch latency (fetch barrier each iteration):
+    returns {p50_ms, p99_ms} over ``iters`` dispatches."""
+    from vettore_tpu.ops.transport import fetch_barrier
+
+    fetch_barrier(dispatch(0))
+    lat = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        fetch_barrier(dispatch(i))
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat = np.array(lat)
+    return {"p50_ms": round(float(np.percentile(lat, 50)), 2),
+            "p99_ms": round(float(np.percentile(lat, 99)), 2)}
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def pick_scale(args):
+    for a in args:
+        if a.startswith("--scale="):
+            return {"100k": (100_000, 768), "300k": (300_000, 768),
+                    "1m": (1_000_000, 768), "1M": (1_000_000, 768)}[a.split("=", 1)[1]]
+    if "--smoke" in args:
+        return (2_000, 64)
+    # cache-driven ladder: biggest scale whose graph cache exists; else the
+    # biggest the remaining budget can afford to build
+    for n in (1_000_000, 300_000, 100_000):
+        if os.path.exists(_cache_path(graph_cache_name(n, 768))):
+            return (n, 768)
+    if left() > 2800:
+        return (1_000_000, 768)
+    if left() > 1400:
+        return (300_000, 768)
+    return (100_000, 768)
+
+
+def graph_cache_name(n, d):
+    p = HNSW_PARAMS
+    return f"hnsw_{n}x{d}_m{p['m']}m0{p['m0']}efc{p['ef_construction']}_s{SEED}_v1.npz"
 
 
 def main():
     args = sys.argv[1:]
     headline_only = "--headline-only" in args
-    if "--smoke" in args:
-        n, d, q_count, batch = 2_000, 64, 32, 32
-    elif "--scale=100k" in args:
-        n, d, q_count, batch = 100_000, 768, 512, 512
-    elif "--scale=300k" in args:
-        n, d, q_count, batch = 300_000, 768, 512, 512
+    prime = "--prime-cache" in args
+    smoke = "--smoke" in args
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    if not prime:
+        signal.alarm(max(30, int(BUDGET_S) - 15))
+
+    if prime and not any(a.startswith("--scale=") for a in args) and not smoke:
+        n, d = 1_000_000, 768
     else:
-        # the full BASELINE.md headline config (config 2/3)
-        n, d, q_count, batch = 1_000_000, 768, 512, 512
+        n, d = pick_scale(args)
+    batch = 32 if smoke else 512
+    q_count = 32 if smoke else 512
+    detail = STATE["detail"]
+    detail.update({"batch": batch, "scale": f"{n}x{d}",
+                   "corpus": f"clustered({max(1024, n // 100)}centers,radius0.4)",
+                   "query_noise_norm": 0.4})
 
     import jax
     import jax.numpy as jnp
 
     from vettore_tpu.index.flat import FlatIndex
     from vettore_tpu.index.hnsw import HnswIndex
+    from vettore_tpu.ops.transport import fetch_barrier
 
-    detail = {"batch": batch, "corpus": f"clustered({max(1024, n // 100)}centers,radius0.4)",
-              "query_noise_norm": 0.4}
+    # ---- session warm-up (3-9 min on this runtime; measure it explicitly)
+    _phase("device session init")
+    t0 = time.perf_counter()
+    fetch_barrier(jnp.ones((8, 128)) * 2.0)
+    detail["session_init_s"] = round(time.perf_counter() - t0, 1)
+    _phase(f"session ready in {detail['session_init_s']}s")
 
+    # ---- corpus
     _phase(f"corpus {n}x{d}")
-    data = clustered_corpus(n, d)
+    t0 = time.perf_counter()
+    data = cached_corpus(n, d)
     ids = [f"doc-{i:07d}" for i in range(n)]
-    queries = make_queries(data, max(q_count, batch))
-    qdev = jnp.asarray(queries[:batch], jnp.float32)
+    # 2x the batch so timed dispatches rotate over genuinely different slices
+    queries = make_queries(data, 2 * max(q_count, batch))
+    detail["corpus_s"] = round(time.perf_counter() - t0, 1)
 
     # ---- flat exact (ground truth + config-1-style throughput)
     _phase("flat ingest")
     flat = FlatIndex("cosine")
     t0 = time.perf_counter()
-    flat.put_many(zip(ids, data))
+    flat.put_matrix(ids, data)
     detail["flat_build_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    flat._sync_device()
+    fetch_barrier(flat._device[0])
+    detail["flat_upload_s"] = round(time.perf_counter() - t0, 1)
+    _phase(f"flat host {detail['flat_build_s']}s upload {detail['flat_upload_s']}s")
+
     _phase("ground truth")
     truth = flat.search_batch(queries[:q_count], 10)
+    qdev = jnp.asarray(queries.astype(np.float32))
 
-    detail["flat_exact_qps"] = round(timed_qps(
-        lambda: flat.search_batch_device(qdev, 10), 8, batch), 1)
-    _phase(f"flat f32 {detail['flat_exact_qps']} qps")
+    def flat_dispatch(i, index=flat):
+        s = (i * 37) % max(1, qdev.shape[0] - batch + 1)
+        return index.search_batch_device(
+            jax.lax.dynamic_slice_in_dim(qdev, s, batch), 10)
 
-    flat16 = FlatIndex("cosine", storage="bf16")
-    flat16.put_many(zip(ids, data))
+    detail["flat_exact_qps"] = round(timed_qps(flat_dispatch, 8, batch), 1)
+    detail["flat_exact"] = timed_percentiles(flat_dispatch)
+    _phase(f"flat f32 {detail['flat_exact_qps']} qps {detail['flat_exact']}")
+
+    flat16 = flat.storage_view("bf16")
     hits16 = flat16.search_batch(queries[:q_count], 10)
     detail["flat_bf16"] = {
-        "qps": round(timed_qps(lambda: flat16.search_batch_device(qdev, 10), 8, batch), 1),
+        "qps": round(timed_qps(lambda i: flat_dispatch(i, flat16), 8, batch), 1),
         "overlap_at_10": round(overlap_at_k(hits16, truth), 4),
+        **timed_percentiles(lambda i: flat_dispatch(i, flat16)),
     }
-    del flat16
     _phase(f"flat bf16 {detail['flat_bf16']}")
 
-    # ---- HNSW (config 2, the headline): bulk build + ef sweep to the gate
-    _phase("hnsw build")
-    t0 = time.perf_counter()
-    hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
-    hnsw.BULK_THRESHOLD = min(HnswIndex.BULK_THRESHOLD, max(2, n // 2))
-    hnsw.put_many(zip(ids, data))
-    hnsw_build_s = time.perf_counter() - t0
-    detail["hnsw_build_s"] = round(hnsw_build_s, 1)
-    _phase(f"hnsw built in {hnsw_build_s:.0f}s; ef sweep")
+    # headline fallback in case HNSW never completes
+    STATE.update({
+        "metric": f"flat_exact_qps_{n}x{d}_cosine", "value": detail["flat_exact_qps"],
+    })
 
-    hnsw_qps, hnsw_recall, used_ef = None, 0.0, None
-    for ef in EF_SWEEP:
-        if ef > n:
-            break
-        hnsw.params["ef_search"] = ef
-        hits = hnsw.search_batch(queries[:q_count], 10)
-        r = overlap_at_k(hits, truth)
-        _phase(f"  ef={ef}: recall@10={r:.4f}")
-        if r >= RECALL_GATE or ef == EF_SWEEP[-1]:
-            qps = timed_qps(lambda: hnsw.search_batch_device(qdev, 10), 6, batch)
-            hnsw_qps, hnsw_recall, used_ef = qps, r, ef
-            if r >= RECALL_GATE:
+    # ---- HNSW (config 2, the headline): cached graph or on-device build
+    graph_path = _cache_path(graph_cache_name(n, d))
+    hnsw = None
+    if os.path.exists(graph_path):
+        _phase("hnsw graph cache hit")
+        t0 = time.perf_counter()
+        with np.load(graph_path, allow_pickle=False) as z:
+            graph_ids = [str(i) for i in z["ids"]]
+        perm = np.fromiter((flat._slot_of[i] for i in graph_ids), dtype=np.int32,
+                           count=len(graph_ids))
+        x_dev = flat._device[0][jnp.asarray(perm)]
+        hnsw = HnswIndex.load_graph(
+            "cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]}, graph_path,
+            x_device=x_dev)
+        fetch_barrier(hnsw._bulk.a0)
+        detail["hnsw_build_s"] = 0.0
+        detail["hnsw_graph_load_s"] = round(time.perf_counter() - t0, 1)
+        _phase(f"graph loaded in {detail['hnsw_graph_load_s']}s")
+    else:
+        est_build = max(120.0, n / 1_000_000 * 1500)
+        if prime or left() > est_build + 240:
+            _phase(f"hnsw build (est {est_build:.0f}s)")
+            t0 = time.perf_counter()
+            hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
+            hnsw.bulk_ingest_device(ids, flat._device[0][: len(ids)])
+            detail["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
+            _phase(f"built in {detail['hnsw_build_s']}s; caching graph")
+            try:
+                hnsw.save_graph(graph_path, include_x=False)
+            except Exception as exc:  # cache is best-effort
+                _phase(f"graph cache save failed: {exc}")
+        else:
+            detail["skipped"].append("hnsw_build_budget")
+
+    baseline_qps = None
+    if hnsw is not None:
+        _phase("ef sweep")
+        hnsw_qps, hnsw_recall, used_ef = None, 0.0, None
+        for ef in EF_SWEEP:
+            if ef > n:
                 break
-    detail["recall_at_10"] = round(hnsw_recall, 4)
-    detail["ef_search"] = used_ef
-    gate = "pass" if hnsw_recall >= RECALL_GATE else "ef_sweep_exhausted"
-    detail["recall_gate"] = gate
-    _phase(f"hnsw {hnsw_qps:.0f} qps at ef={used_ef} (recall {hnsw_recall:.4f})")
+            hnsw.params["ef_search"] = ef
+            hits = hnsw.search_batch(queries[:q_count], 10)
+            r = overlap_at_k(hits, truth)
+            _phase(f"  ef={ef}: recall@10={r:.4f}")
+            if r >= RECALL_GATE or ef == EF_SWEEP[-1] or left() < 120:
+                def hnsw_dispatch(i):
+                    s = (i * 37) % max(1, qdev.shape[0] - batch + 1)
+                    return hnsw.search_batch_device(
+                        jax.lax.dynamic_slice_in_dim(qdev, s, batch), 10)
 
-    # ---- quantized (config 3) + funnel (config 4) over the same corpus,
-    # through the Collection pipelines
-    if not headline_only:
-        from vettore_tpu.collection import Collection
+                qps = timed_qps(hnsw_dispatch, 6, batch)
+                detail["hnsw"] = timed_percentiles(hnsw_dispatch, 8)
+                hnsw_qps, hnsw_recall, used_ef = qps, r, ef
+                if r >= RECALL_GATE or left() < 120:
+                    break
+        detail["recall_at_10"] = round(hnsw_recall, 4)
+        detail["ef_search"] = used_ef
+        detail["recall_gate"] = "pass" if hnsw_recall >= RECALL_GATE else "ef_sweep_exhausted"
+        _phase(f"hnsw {hnsw_qps:.0f} qps at ef={used_ef} (recall {hnsw_recall:.4f})")
+        STATE.update({
+            "metric": f"hnsw_qps_at_recall10>={RECALL_GATE}_{n}x{d}_cosine",
+            "value": round(hnsw_qps, 1),
+        })
 
-        _phase("collection ingest (adaptive modes)")
-        col = Collection(name="bench", dimensions=d, metric="cosine", index="flat")
-        col.put_many([
-            {"id": id, "vector": vec} for id, vec in zip(ids, data)
-        ])
+    # ---- adaptive modes (quantized config 3, funnel config 4) + serving batch
+    if not headline_only and (prime or left() > 180):
+        try:
+            from vettore_tpu.collection import Collection
 
-        cand = min(500, n)
-        qhits = col.quantized_search_batch(queries[:q_count], limit=10, candidates=cand)
-        q_overlap = overlap_at_k(
-            [[(r.id, r.score) for r in row] for row in qhits], truth)
-        q_qps = timed_qps(
-            lambda: col.quantized_search_batch(queries[:batch], limit=10,
-                                               candidates=cand),
-            4, batch)
-        detail["quantized"] = {"qps": round(q_qps, 1), "candidates": cand,
-                               "overlap_at_10": round(q_overlap, 4)}
-        _phase(f"quantized {detail['quantized']}")
+            _phase("collection ingest (adaptive modes)")
+            col = Collection(name="bench", dimensions=d, metric="cosine", index="flat")
+            col.put_matrix(ids, data)
+            cache = col._scan_cache()
+            # lex-ordered ingest -> the scan cache shares the flat index's
+            # device block (no second multi-GB upload)
+            _x, _v = cache.vectors()
+            fetch_barrier(_x)
+            cand = min(500, n)
 
-        stages = tuple(s for s in (128, 256, 384) if s <= d) or (d,)
-        fcand = min(200, n)
-        fhits = col.funnel_search_batch(queries[:q_count], limit=10,
-                                        candidates=fcand, stages=list(stages))
-        f_overlap = overlap_at_k(
-            [[(r.id, r.score) for r in row] for row in fhits], truth)
-        f_qps = timed_qps(
-            lambda: col.funnel_search_batch(queries[:batch], limit=10,
-                                            candidates=fcand, stages=list(stages)),
-            4, batch)
-        detail["funnel"] = {"qps": round(f_qps, 1), "stages": list(stages),
-                            "candidates": fcand, "overlap_at_10": round(f_overlap, 4)}
-        _phase(f"funnel {detail['funnel']}")
-        col.close()
-        del col
+            qhits = col.quantized_search_batch(queries[:q_count], limit=10,
+                                               candidates=cand)
+            q_overlap = overlap_at_k(
+                [[(r.id, r.score) for r in row] for row in qhits], truth)
 
-        # ---- hybrid -> MaxSim rerank -> MMR (config 5) on the multi-vector
-        # corpus: 32 x 128d token vectors per doc (kept to 100k docs: the
-        # token block alone is n*32*128 floats; per-doc cost is scale-free)
-        mv_n = min(n, 100_000) if "--smoke" not in args else 200
-        mv_d, mv_t = (128, 32) if "--smoke" not in args else (16, 4)
-        _phase(f"multi-vector corpus {mv_n}x{mv_t}x{mv_d}")
-        mv_docs = clustered_corpus(mv_n, mv_d, seed=SEED + 9)
-        rng = np.random.default_rng(SEED + 10)
-        token_noise = 0.3 / np.sqrt(mv_d)
-        mv_col = Collection(name="bench-mv", dimensions=mv_d, metric="cosine",
-                            index="hnsw",
-                            index_options={**HNSW_PARAMS, "ef_search": 64})
-        mv_col.index.BULK_THRESHOLD = min(HnswIndex.BULK_THRESHOLD, max(2, mv_n // 2))
-        mv_records = []
-        for i in range(mv_n):
-            toks = mv_docs[i] + token_noise * rng.normal(size=(mv_t, mv_d)).astype(np.float32)
-            mv_records.append({"id": f"mv-{i:06d}", "vectors": toks.tolist()})
-        t0 = time.perf_counter()
-        mv_col.put_many(mv_records)
-        detail_mv_build = time.perf_counter() - t0
-        mv_queries = make_queries(mv_docs, 32)
+            def quant_dispatch(i, b=batch):
+                s = (i * 29) % max(1, len(queries) - b + 1)
+                return col.quantized_search_batch(queries[s:s + b], limit=10,
+                                                  candidates=cand)
 
-        from vettore_tpu.ops.mmr import mmr_rerank
+            q_qps = timed_qps(lambda i: quant_dispatch(i), 4, batch)
+            detail["quantized"] = {"qps": round(q_qps, 1), "candidates": cand,
+                                   "overlap_at_10": round(q_overlap, 4)}
+            _phase(f"quantized {detail['quantized']}")
 
-        def query_tokens(qv):
-            return [list(qv + token_noise * rng.normal(size=mv_d).astype(np.float32))
-                    for _ in range(4)]
+            stages = tuple(s for s in (128, 256, 384) if s <= d) or (d,)
+            fcand = min(200, n)
+            fhits = col.funnel_search_batch(queries[:q_count], limit=10,
+                                            candidates=fcand, stages=list(stages))
+            f_overlap = overlap_at_k(
+                [[(r.id, r.score) for r in row] for row in fhits], truth)
 
-        def hybrid_one(qv, toks=None):
-            toks = toks if toks is not None else query_tokens(qv)
-            results = mv_col.hybrid_search(
-                list(qv), limit=30,
-                generators=[("hnsw", {"candidates": 500}),
-                            ("quantized", {"candidates": 500})],
-                rerank=("multi_vector", toks))
-            initial = [(r.id, float(r.score)) for r in results]
-            pool = [(r.id, list(np.asarray(mv_col.get(r.id).vector))) for r in results]
-            return results, mmr_rerank(initial, pool, "cosine", 0.5, 10)
+            def fun_dispatch(i, b=batch):
+                s = (i * 29) % max(1, len(queries) - b + 1)
+                return col.funnel_search_batch(queries[s:s + b], limit=10,
+                                               candidates=fcand, stages=list(stages))
 
-        # oracle: exact MaxSim over ALL docs via multi_vector_search.
-        # Overlap is measured BEFORE the MMR step — MMR diversifies away
-        # from the pure top-10 by design, so post-MMR overlap conflates
-        # candidate recall with intentional reordering.
-        sample = mv_queries[:8]
-        agree = []
-        for qv in sample:
-            toks = query_tokens(qv)
-            results, _reranked = hybrid_one(qv, toks)
-            hybrid_ids = [r.id for r in results[:10]]
-            exact = mv_col.multi_vector_search(toks, limit=10)
-            agree.append(len(set(hybrid_ids) & {r.id for r in exact}) / 10)
-        t0 = time.perf_counter()
-        for qv in mv_queries[8:24]:
-            hybrid_one(qv)
-        lat_ms = (time.perf_counter() - t0) / 16 * 1000
-        detail["hybrid_maxsim_mmr"] = {
-            "docs": mv_n, "tokens": mv_t, "dims": mv_d,
-            "build_s": round(detail_mv_build, 1),
-            "latency_ms_per_query": round(lat_ms, 1),
-            "overlap_at_10_vs_exact_maxsim": round(float(np.mean(agree)), 4),
-            "note": "host-orchestrated pipeline; latency includes dev-tunnel RTTs",
-        }
-        _phase(f"hybrid+maxsim+mmr {detail['hybrid_maxsim_mmr']}")
-        mv_col.close()
+            f_qps = timed_qps(lambda i: fun_dispatch(i), 4, batch)
+            detail["funnel"] = {"qps": round(f_qps, 1), "stages": list(stages),
+                                "candidates": fcand,
+                                "overlap_at_10": round(f_overlap, 4)}
+            _phase(f"funnel {detail['funnel']}")
+            col.close()
+            del col, cache
+        except Exception as exc:
+            detail["skipped"].append(f"adaptive_modes_error:{type(exc).__name__}")
+            _phase(f"adaptive modes failed: {exc}")
 
-        # ---- config 1: flat exact cosine 100k x 384
-        if "--smoke" not in args:
-            c_n, c_d = min(n, 100_000), 384
-            _phase(f"flat {c_n}x{c_d} (config 1)")
-            cdata = clustered_corpus(c_n, c_d, seed=SEED + 20)
-            cq = make_queries(cdata, batch)
-            cflat = FlatIndex("cosine")
-            cflat.put_many((f"c-{i:06d}", v) for i, v in enumerate(cdata))
-            cqdev = jnp.asarray(cq, jnp.float32)
-            detail["flat_100k_384_qps"] = round(timed_qps(
-                lambda: cflat.search_batch_device(cqdev, 10), 8, batch), 1)
-            del cflat
+    # ---- hybrid -> MaxSim -> MMR (config 5) on the multi-vector corpus
+    if not headline_only and not smoke and (prime or left() > 150):
+        try:
+            run_hybrid_mv(detail, n, prime)
+        except Exception as exc:
+            detail["skipped"].append(f"hybrid_mv_error:{type(exc).__name__}")
+            _phase(f"hybrid/mv failed: {exc}")
+    elif not headline_only and not smoke:
+        detail["skipped"].append("hybrid_mv_budget")
 
+    # ---- CPU single-core baseline (the vs_baseline denominator)
     _phase("cpu baseline")
-    baseline_qps = cpu_single_core_qps(data, queries)
-    detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
+    try:
+        baseline_qps = cpu_single_core_qps(data, queries)
+        detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
+        STATE["vs_baseline"] = round(STATE["value"] / baseline_qps, 2)
+    except Exception as exc:
+        detail["skipped"].append(f"cpu_baseline_error:{type(exc).__name__}")
 
-    print(json.dumps({
-        "metric": f"hnsw_qps_at_recall10>={RECALL_GATE}_{n}x{d}_cosine",
-        "value": round(hnsw_qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(hnsw_qps / baseline_qps, 2),
-        "detail": detail,
-    }))
+    emit(final=True)
+
+
+def run_hybrid_mv(detail, n, prime):
+    """Hybrid (hnsw+quantized generators) -> ColBERT MaxSim rerank -> MMR,
+    config 5: 32 x 128d token vectors/doc."""
+    import jax.numpy as jnp
+
+    from vettore_tpu.collection import Collection
+    from vettore_tpu.index.hnsw import HnswIndex
+    from vettore_tpu.ops.transport import fetch_barrier, round_to_bf16
+
+    mv_n, mv_d, mv_t = min(n, 100_000), 128, 32
+    _phase(f"multi-vector corpus {mv_n}x{mv_t}x{mv_d}")
+    mv_docs = cached_corpus(mv_n, mv_d, seed=SEED + 9, tag="mv")
+    rng = np.random.default_rng(SEED + 10)
+    token_noise = np.float32(0.3 / np.sqrt(mv_d))
+
+    tok_path = _cache_path(f"mvtok_{mv_n}x{mv_t}x{mv_d}_s{SEED}.u16.npy")
+    if os.path.exists(tok_path):
+        halves = np.load(tok_path)
+        tokens = (halves.astype(np.uint32) << 16).view(np.float32)
+    else:
+        tokens = round_to_bf16(
+            mv_docs[:, None, :] + token_noise * rng.standard_normal(
+                (mv_n, mv_t, mv_d), dtype=np.float32))
+        np.save(tok_path, (tokens.view(np.uint32) >> 16).astype(np.uint16))
+
+    mv_ids = [f"mv-{i:06d}" for i in range(mv_n)]
+    mv_col = Collection(name="bench-mv", dimensions=mv_d, metric="cosine",
+                        index="hnsw", index_options={**HNSW_PARAMS, "ef_search": 64})
+    mv_col.index.BULK_THRESHOLD = 10**9  # graph comes from cache/bulk below
+    _phase("mv ingest")
+    t0 = time.perf_counter()
+    mv_col.put_many([
+        {"id": id, "vectors": list(tokens[i])} for i, id in enumerate(mv_ids)
+    ])
+    detail_build = time.perf_counter() - t0
+
+    mv_graph = _cache_path(f"mvgraph_{mv_n}x{mv_d}_s{SEED}_v1.npz")
+    t0 = time.perf_counter()
+    if os.path.exists(mv_graph):
+        idx = HnswIndex.load_graph("cosine", {**HNSW_PARAMS, "ef_search": 64}, mv_graph)
+        mv_col.attach_index(idx)
+    else:
+        idx = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": 64})
+        primary = np.stack([np.asarray(mv_col.get(i).vector, np.float32) for i in mv_ids])
+        idx.BULK_THRESHOLD = 2
+        idx.put_many(zip(mv_ids, primary))
+        idx.save_graph(mv_graph)
+        mv_col.attach_index(idx)
+    detail_build += time.perf_counter() - t0
+
+    mv_queries = make_queries(mv_docs, 64, seed=SEED + 11)
+
+    def query_tokens(qv, r):
+        return round_to_bf16(qv[None, :] + token_noise * r.standard_normal(
+            (4, mv_d), dtype=np.float32))
+
+    from vettore_tpu.ops.mmr import mmr_rerank
+
+    def hybrid_one(qv, toks):
+        results = mv_col.hybrid_search(
+            list(qv), limit=30,
+            generators=[("hnsw", {"candidates": 500}),
+                        ("quantized", {"candidates": 500})],
+            rerank=("multi_vector", [list(t) for t in toks]))
+        initial = [(r.id, float(r.score)) for r in results]
+        pool = [(r.id, list(np.asarray(mv_col.get(r.id).vector))) for r in results]
+        return results, mmr_rerank(initial, pool, "cosine", 0.5, 10)
+
+    # overlap BEFORE MMR (MMR diversifies away from pure top-10 by design)
+    rq = np.random.default_rng(SEED + 12)
+    agree = []
+    for qv in mv_queries[:8]:
+        toks = query_tokens(qv, rq)
+        results, _rr = hybrid_one(qv, toks)
+        exact = mv_col.multi_vector_search([list(t) for t in toks], limit=10)
+        agree.append(len({r.id for r in results[:10]} & {r.id for r in exact}) / 10)
+
+    t0 = time.perf_counter()
+    count = 16
+    for qv in mv_queries[8:8 + count]:
+        hybrid_one(qv, query_tokens(qv, rq))
+    lat_ms = (time.perf_counter() - t0) / count * 1000
+    detail["hybrid_maxsim_mmr"] = {
+        "docs": mv_n, "tokens": mv_t, "dims": mv_d,
+        "build_s": round(detail_build, 1),
+        "latency_ms_per_query": round(lat_ms, 1),
+        "overlap_at_10_vs_exact_maxsim": round(float(np.mean(agree)), 4),
+    }
+    _phase(f"hybrid+maxsim+mmr {detail['hybrid_maxsim_mmr']}")
+    mv_col.close()
 
 
 if __name__ == "__main__":

@@ -396,3 +396,73 @@ class TestSnapshot:
         open(path, "wb").write(b"garbage")
         with pytest.raises(errors.InvalidSnapshot):
             vt.load_snapshot(path)
+
+
+class TestBlockSharingAndAttach:
+    def test_scan_cache_shares_flat_block_when_lex_ingested(self):
+        import numpy as np
+        from vettore_tpu.collection import Collection
+
+        rng = np.random.default_rng(3)
+        data = rng.normal(size=(1200, 16)).astype(np.float64)
+        ids = [f"d{i:05d}" for i in range(1200)]  # lex order == insert order
+        col = Collection(name="s", dimensions=16, metric="cosine")
+        col.put_matrix(ids, data)
+        cache = col._scan_cache()
+        x, _valid = cache.vectors()
+        col.index._sync_device()
+        assert x is col.index._device[0]
+        # funnel through the shared block still matches the exact scan
+        q = list(data[7] / np.linalg.norm(data[7]))
+        exact = [r.id for r in col.search(q, limit=5)]
+        fun = [r.id for r in col.funnel_search(q, limit=5, candidates=1200,
+                                               stages=[16])]
+        assert exact == fun
+
+    def test_scan_cache_no_share_after_unordered_insert(self):
+        import numpy as np
+        from vettore_tpu.collection import Collection
+
+        col = Collection(name="u", dimensions=4, metric="cosine")
+        col.put_many([{"id": "zz", "vector": [1.0, 0, 0, 0]},
+                      {"id": "aa", "vector": [0, 1.0, 0, 0]}])
+        cache = col._scan_cache()
+        x, _ = cache.vectors()  # must not crash; slot order != lex order
+        got = [r.id for r in col.funnel_search([1.0, 0, 0, 0], limit=2,
+                                               candidates=2, stages=[4])]
+        assert got == ["zz", "aa"]
+
+    def test_attach_index_warm_start(self, tmp_path):
+        import numpy as np
+        from vettore_tpu.collection import Collection
+        from vettore_tpu.index.hnsw import HnswIndex
+
+        rng = np.random.default_rng(5)
+        data = rng.normal(size=(64, 8)).astype(np.float64)
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        ids = [f"d{i:04d}" for i in range(64)]
+        col = Collection(name="w", dimensions=8, metric="cosine", index="hnsw",
+                         index_options={"m": 4, "m0": 8})
+        col.put_matrix(ids, data)
+        col.index.BULK_THRESHOLD = 10**9  # host-built graph is fine here
+        path = str(tmp_path / "g.npz")
+        fresh = HnswIndex("cosine", {"m": 4, "m0": 8})
+        fresh.BULK_THRESHOLD = 2
+        fresh.put_many(zip(ids, np.asarray([col.get(i).vector for i in ids])))
+        fresh.save_graph(path)
+        loaded = HnswIndex.load_graph("cosine", {"m": 4, "m0": 8}, path)
+        col.attach_index(loaded)
+        hits = col.search(list(data[3]), limit=3)
+        assert hits[0].id == ids[3]
+
+    def test_attach_index_count_mismatch_rejected(self):
+        import pytest as _pytest
+        from vettore_tpu import errors as E
+        from vettore_tpu.collection import Collection
+        from vettore_tpu.index.flat import FlatIndex
+
+        col = Collection(name="m", dimensions=2, metric="l2")
+        col.put_many([{"id": "a", "vector": [0.0, 1.0]}])
+        other = FlatIndex("l2")
+        with _pytest.raises(E.InvalidIndex):
+            col.attach_index(other)

@@ -442,6 +442,28 @@ class Collection:
     def index(self) -> Index:
         return self._index
 
+    def attach_index(self, index) -> None:
+        """Expert API: swaps in a prebuilt acceleration index for the SAME
+        record set — e.g. a graph cached via ``HnswIndex.save_graph`` and
+        reloaded with ``load_graph`` (warm start; skips the bulk build). The
+        canonical store is untouched; the index must hold exactly the
+        collection's records."""
+        if not valid_index(index):
+            raise E.InvalidIndex(f"invalid index: {index!r}")
+        with self._write_lock:
+            self.ensure_open()
+            n = self.count()
+            try:
+                index_n = len(index)
+            except TypeError:
+                index_n = n  # custom index without __len__: caller's contract
+            if index_n != n:
+                raise E.InvalidIndex(
+                    f"attached index holds {index_n} records, collection has {n}"
+                )
+            self._index = index
+            self._bump()
+
     def _bump(self):
         self._version += 1
 
@@ -730,9 +752,32 @@ class Collection:
 
     def _scan_cache(self) -> _VectorCache:
         if self._cache is None or self._cache_version != self._version:
-            self._cache = _VectorCache(self._store.all(), self.dimensions)
+            cache = _VectorCache(self._store.all(), self.dimensions)
+            self._try_share_block(cache)
+            self._cache = cache
             self._cache_version = self._version
         return self._cache
+
+    def _try_share_block(self, cache: _VectorCache) -> None:
+        """Shares the flat index's device block with the scan cache when slot
+        order equals lex id order (true after a sorted bulk ingest) — saves a
+        second multi-GB host→device transfer of the same vectors."""
+        idx = self._index
+        if not (
+            isinstance(idx, FlatIndex)
+            and idx.storage == "f32"
+            and cache.n
+            and len(idx) == cache.n
+            and idx.dimension == self.dimensions
+        ):
+            return
+        if idx._cap != cache.cap or not idx._valid[: cache.n].all() or idx._valid[cache.n:].any():
+            return
+        if idx._ids[: cache.n] != cache.ids:
+            return
+        idx._sync_device()
+        x, valid, _ = idx._device
+        cache._x = (x, valid)
 
     # ------------------------------------------------------------------
     # result hydration

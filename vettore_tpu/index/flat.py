@@ -306,6 +306,32 @@ class FlatIndex(Index):
         self._valid = grown_valid
         self._cap = cap
 
+    def storage_view(self, storage: str) -> "FlatIndex":
+        """A read-only view of this index under a different storage mode —
+        the device block converts on device (no host→device re-transfer).
+        Mutating either index afterwards is undefined; intended for
+        benchmarking / serving-time storage experiments."""
+        if storage not in ("f32", "bf16"):
+            raise InvalidFlatOptions(f"unknown storage mode: {storage!r}")
+        view = FlatIndex(self.metric, storage=storage)
+        view._dim = self._dim
+        view._cap = self._cap
+        view._host_x = self._host_x
+        view._valid = self._valid
+        view._ids = self._ids
+        view._slot_of = self._slot_of
+        view._free = self._free
+        self._sync_device()
+        x, valid, lex_order = self._device
+        if storage == "bf16" and x.dtype != jnp.bfloat16:
+            x = x.astype(jnp.bfloat16)
+        elif storage == "f32" and x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        view._device = (x, valid, lex_order)
+        view._device_scan = self._device_scan
+        view._dirty = False
+        return view
+
     # -- search -------------------------------------------------------------
 
     def _sync_device(self):
