@@ -336,6 +336,7 @@ def main():
         **timed_percentiles(lambda i: flat_dispatch(i, flat16)),
     }
     _phase(f"flat bf16 {detail['flat_bf16']}")
+    del flat16  # frees the 1.5 GB bf16 block before the HNSW build
 
     # headline fallback in case HNSW never completes
     STATE.update({

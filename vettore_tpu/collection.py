@@ -46,7 +46,6 @@ from .ops.distance import NORMALIZATIONS, normalize_rows, validate_vector
 from .ops.packing import (
     pack_signs_u32,
     pack_signs_u64_rows,
-    u64_words_to_u32,
     words_for,
 )
 from .observability import StatsRegistry, observed
@@ -127,6 +126,7 @@ class _VectorCache:
         self._x = None
         self._host_mat = None
         self._bits = None
+        self._signs = None
         self._mv = None
 
     def _stack_vectors(self) -> np.ndarray:
@@ -273,6 +273,15 @@ class _VectorCache:
             tokens[i, : len(rows)] = rows
         self._mv = (jnp.asarray(tokens), jnp.asarray(counts))
         return self._mv
+
+    def signs(self):
+        """Device-resident ±1 int8 sign block [cap, d] for MXU Hamming —
+        expanded on device from the packed words (no extra host transfer)."""
+        if self._signs is None:
+            from .ops.pipeline import signs_from_bits
+
+            self._signs = signs_from_bits(self.bits(), d=self.dimensions)
+        return self._signs
 
 
 def _mv_pipeline(tokens, counts, valid, queries, *, metric, limit):
@@ -917,13 +926,12 @@ class Collection:
         if prepared.shape[0] == 0:
             return []
         x, valid = cache.vectors()
-        bits = cache.bits()
-        qbits = pack_signs_u32(prepared)
+        signs = cache.signs()
         count = min(candidates, cache.n)
         k = min(limit, count)
         top, raws, ranks, finite = jax.device_get(pipe.quantized_pipeline_batch(
-            x, bits, valid, jnp.asarray(prepared), jnp.asarray(qbits),
-            metric=self.metric, count=count, limit=k,
+            x, signs, valid, jnp.asarray(prepared),
+            metric=self.metric, count=count, limit=k, d=self.dimensions,
         ))
         out = []
         for b in range(prepared.shape[0]):
@@ -982,15 +990,12 @@ class Collection:
         if cache.n == 0:
             return []
         x, valid = cache.vectors()
-        bits = cache.bits()
-        qbits = u64_words_to_u32(
-            pack_signs_u64_rows(q[None, :])[0].tolist(), self.dimensions
-        )
+        signs = cache.signs()
         count = min(candidates, cache.n)
         k = min(limit, count)
         top, raws, ranks, finite = pipe.quantized_pipeline(
-            x, bits, valid, jnp.asarray(q), jnp.asarray(qbits),
-            metric=self.metric, count=count, limit=k,
+            x, signs, valid, jnp.asarray(q),
+            metric=self.metric, count=count, limit=k, d=self.dimensions,
         )
         top, raws, ranks, finite = jax.device_get((top, raws, ranks, finite))
         if not bool(finite):
@@ -1131,17 +1136,28 @@ class Collection:
         if name == "quantized":
             if cache.n == 0:
                 return []
-            bits = cache.bits()
+            signs = cache.signs()
             _x, valid = cache.vectors()
-            qbits = u64_words_to_u32(
-                pack_signs_u64_rows(q[None, :])[0].tolist(), self.dimensions
-            )
             count = min(candidates, cache.n)
-            slots, ok = jax.device_get(
+            slots, ok, sel_ok = jax.device_get(
                 pipe.quantized_candidates_pipeline(
-                    bits, valid, jnp.asarray(qbits), count=count
+                    signs, valid, jnp.asarray(q), count=count, d=self.dimensions
                 )
             )
+            if not bool(sel_ok):
+                # tie spill past the selection slack: exact host candidates
+                qwords = [int(w) for w in pack_signs_u64_rows(q[None, :])[0]]
+                pairs = []
+                for r in cache.records:
+                    words = (
+                        [int(w) for w in r.binary_vector]
+                        if r.binary_vector is not None
+                        else [int(w) for w in pack_signs_u64_rows(
+                            np.asarray(r.vector, np.float64)[None, :])[0]]
+                    )
+                    pairs.append((r.id, words))
+                hits = scan_host.binary_top_k(pairs, qwords, self.dimensions, candidates)
+                return [id for id, _ in hits]
             return [cache.ids[int(s)] for s, o in zip(slots, ok) if o]
         if name == "hnsw" and self.index_kind != "hnsw":
             raise E.HnswIndexRequired("hnsw generator requires an hnsw index")

@@ -1,21 +1,32 @@
-"""Fused on-device adaptive search pipelines.
+"""Fused on-device adaptive search pipelines (batch-first).
 
 The reference's funnel / quantized / hybrid modes chain batched NIF scans with
 candidate lists flowing through Elixir
 (/root/reference/lib/vettore/collection.ex:558-713). Here each whole pipeline
 — stage scans, candidate selection, and the exact rerank — compiles to ONE
-XLA program, so candidates never leave the device and a query costs a single
-dispatch.
+XLA program per query batch, so candidates never leave the device.
 
-Invariant: the caller's block is LEX-SORTED — slot order equals id order (the
-``_VectorCache`` stores records sorted by id, invalid/pad slots last). Stable
-TopK then resolves equal-rank ties to the smallest slot == lexicographically
-smallest id, reproducing the reference's (rank, id) heap ordering
-(search.rs:23-29) with no per-query gather through a lex permutation — that
-gather was the dominant cost of these pipelines at 1M rows.
+Round-3 redesign (the round-2 pipelines were per-query vmaps whose
+``lax.top_k(candidates)`` over 1M rows cost ~0.9 s/batch — slower than the
+brute-force scan they were meant to beat):
 
-All shapes are static: candidate counts and limits are bucketed by the caller,
-padded positions carry +inf rank / False validity.
+* **batch-first**: every stage works on the full ``[B, N]`` score matrix;
+* **candidate selection via ops/select.exact_top_c** — recursive group-min
+  descent, exact with (rank, id) ties, ~40x cheaper than ``lax.top_k`` at
+  candidates=500 over 1M rows;
+* **Hamming on the MXU**: sign bits expand once to a device-resident ±1 int8
+  block; ``hamming = (d - s·q)/2`` is then one int8 matmul (int32
+  accumulate) — bit-identical to XOR+popcount over the packed words
+  (distances.rs:426-437) and ~100x faster than a VPU popcount sweep.
+
+Invariant: the caller's block is LEX-SORTED — slot order equals id order
+(``_VectorCache`` stores records sorted by id, invalid/pad slots last), so
+slot order is the (rank, id) tie-break key (search.rs:23-29).
+
+All shapes are static: candidate counts and limits are bucketed by the
+caller, padded positions carry +inf rank / False validity. Every pipeline
+returns a per-query ``ok`` flag; False (overflow or tie spill past the
+selection slack) sends that query to the host oracle.
 """
 
 from __future__ import annotations
@@ -25,143 +36,247 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .distance import batched_raw_scores, rank_from_raw
-from .packing import batched_packed_hamming
+from .select import exact_top_c
 
-_BIG = jnp.int32(2**31 - 1)
-
-
-def _topk_slots_sorted(rank, count):
-    """Best ``count`` slots of an ascending-rank array whose slot order is
-    id order; returns (slots ascending-by-slot == lex, ok mask)."""
-    neg_top, pos = jax.lax.top_k(-rank, count)  # stable: ties -> smallest slot
-    ok = jnp.isfinite(-neg_top)
-    slots = jnp.where(ok, pos.astype(jnp.int32), _BIG)
-    slots = jax.lax.sort(slots)  # candidate sets stay lex-sorted between stages
-    return jnp.where(slots < _BIG, slots, 0), slots < _BIG
-
-
-def stage_full(x, valid, q, *, metric, dims, count):
-    """Stage over the full block: scores ``x[:, :dims]`` and selects the best
-    ``count`` slots. Returns (slots_lex_sorted, slot_ok, all_finite)."""
-    raw = batched_raw_scores(
-        x[:, :dims], q[:dims], metric=metric, use_true_cosine=(metric == "cosine")
-    )
-    rank = rank_from_raw(raw, metric=metric)
-    rank = jnp.where(valid, rank, jnp.inf)
-    finite = jnp.all(jnp.isfinite(raw) | ~valid)
-    slots, ok = _topk_slots_sorted(rank, count)
-    return slots, ok, finite
-
-
-def stage_subset(x, slots, slot_ok, q, *, metric, dims, count):
-    """Stage over a candidate subset (slots sorted ascending == by id)."""
-    rows = x[slots][:, :dims]
-    raw = batched_raw_scores(
-        rows, q[:dims], metric=metric, use_true_cosine=(metric == "cosine")
-    )
-    rank = rank_from_raw(raw, metric=metric)
-    rank = jnp.where(slot_ok, rank, jnp.inf)
-    finite = jnp.all(jnp.isfinite(raw) | ~slot_ok)
-    k = min(count, slots.shape[0])
-    neg, pos = jax.lax.top_k(-rank, k)
-    ok = jnp.isfinite(-neg)
-    sel = jnp.where(ok, slots[pos], _BIG)
-    sel = jax.lax.sort(sel)
-    return jnp.where(sel < _BIG, sel, 0), sel < _BIG, finite
-
-
-def subset_rerank(x, slots, slot_ok, q, *, metric, limit):
-    """Final exact rerank of a lex-sorted candidate subset at full dims.
-    Returns (top_slots best-first, raws, ranks, all_finite)."""
-    rows = x[slots]
-    raw = batched_raw_scores(
-        rows, q, metric=metric, use_true_cosine=(metric == "cosine")
-    )
-    rank = rank_from_raw(raw, metric=metric)
-    rank = jnp.where(slot_ok, rank, jnp.inf)
-    finite = jnp.all(jnp.isfinite(raw) | ~slot_ok)
-    k = min(limit, slots.shape[0])
-    neg, pos = jax.lax.top_k(-rank, k)
-    return slots[pos], raw[pos], -neg, finite
-
-
-def hamming_stage(bits, valid, qbits, *, count):
-    """Packed-Hamming candidate stage over the full block."""
-    raw = batched_packed_hamming(bits, qbits)
-    rank = jnp.where(valid, raw, jnp.inf)
-    return _topk_slots_sorted(rank, count)
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "stages", "count", "limit"))
-def funnel_pipeline(x, valid, q, *, metric, stages, count, limit):
-    """Matryoshka funnel: prefix stages then exact rerank, one dispatch."""
-    slots, ok, finite = stage_full(x, valid, q, metric=metric,
-                                   dims=stages[0], count=count)
-    for dims in stages[1:]:
-        slots, ok, f = stage_subset(x, slots, ok, q, metric=metric,
-                                    dims=dims, count=count)
-        finite = finite & f
-    top, raws, ranks, f = subset_rerank(x, slots, ok, q, metric=metric, limit=limit)
-    return top, raws, ranks, finite & f
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "count", "limit"))
-def quantized_pipeline(x, bits, valid, q, qbits, *, metric, count, limit):
-    """Binary-quantized candidates (sign-bit Hamming) then exact rerank."""
-    slots, ok = hamming_stage(bits, valid, qbits, count=count)
-    top, raws, ranks, finite = subset_rerank(x, slots, ok, q, metric=metric, limit=limit)
-    return top, raws, ranks, finite
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "stages", "count"))
-def funnel_candidates_pipeline(x, valid, q, *, metric, stages, count):
-    """Funnel stages only (hybrid generator): returns lex-sorted candidates."""
-    slots, ok, finite = stage_full(x, valid, q, metric=metric,
-                                   dims=stages[0], count=count)
-    for dims in stages[1:]:
-        slots, ok, f = stage_subset(x, slots, ok, q, metric=metric,
-                                    dims=dims, count=count)
-        finite = finite & f
-    return slots, ok, finite
-
-
-@functools.partial(jax.jit, static_argnames=("count",))
-def quantized_candidates_pipeline(bits, valid, qbits, *, count):
-    """Hamming candidates only (hybrid generator)."""
-    return hamming_stage(bits, valid, qbits, count=count)
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "limit"))
-def rerank_pipeline(x, slots, slot_ok, q, *, metric, limit):
-    """Standalone exact rerank over an arbitrary candidate set."""
-    return subset_rerank(x, slots, slot_ok, q, metric=metric, limit=limit)
+_BIG32 = 2**31 - 1
 
 
 # ---------------------------------------------------------------------------
-# Batched variants: one dispatch for a whole query batch (serving path —
-# per-query dispatches through a remote tunnel are RTT-bound)
+# scoring stages
+# ---------------------------------------------------------------------------
+
+
+def _rank_full(x, valid, queries, *, metric, dims):
+    """Rank distances of every row vs every query over the first ``dims``
+    columns: [B, N] ascending-is-better, +inf on invalid rows. Returns
+    (rank, finite [B]). Cosine renormalizes over the prefix (search.rs:56-58
+    scores prefixes with the true cosine)."""
+    sub = x[:, :dims].astype(jnp.float32)
+    q = queries[:, :dims].astype(jnp.float32)
+    mm = functools.partial(jnp.dot, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    if metric in ("cosine", "inner_product", "negative_inner_product"):
+        dots = mm(q, sub.T)  # [B, N]
+        if metric == "cosine":
+            xn = jnp.sqrt(jnp.sum(sub * sub, axis=1))
+            qn = jnp.sqrt(jnp.sum(q * q, axis=1))
+            denom = qn[:, None] * xn[None, :]
+            sim = jnp.where(denom > 0.0, dots / denom, 0.0)
+            rank = 1.0 - jnp.clip(sim, -1.0, 1.0)
+        elif metric == "inner_product":
+            rank = -dots
+        else:
+            rank = dots  # negative_inner_product: raw = -dot, rank = raw
+    elif metric in ("l2", "l2_squared"):
+        xsq = jnp.sum(sub * sub, axis=1)
+        qsq = jnp.sum(q * q, axis=1)
+        sq = jnp.maximum(xsq[None, :] - 2.0 * mm(q, sub.T) + qsq[:, None], 0.0)
+        rank = jnp.sqrt(sq) if metric == "l2" else sq
+    else:
+        raise ValueError(f"unsupported pipeline metric {metric}")
+    finite = jnp.all(jnp.isfinite(rank) | ~valid[None, :], axis=1)
+    return jnp.where(valid[None, :], rank, jnp.inf), finite
+
+
+def _subset_raw_rank(x, slots, slot_ok, queries, *, metric, dims):
+    """Raw + rank for per-query candidate subsets. ``slots`` [B, C] (−1/pad
+    allowed where ``slot_ok`` False). Returns (raw [B, C], rank [B, C],
+    finite [B])."""
+    rows = x[jnp.maximum(slots, 0)][:, :, :dims].astype(jnp.float32)  # [B, C, d]
+    q = queries[:, :dims].astype(jnp.float32)
+    if metric in ("cosine", "inner_product", "negative_inner_product"):
+        dots = jnp.einsum("bcd,bd->bc", rows, q,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        if metric == "cosine":
+            # true cosine at every width — the adaptive pipelines mirror
+            # vector_top_k, which scores with distances::cosine even at full
+            # dims (search.rs:56-58), unlike the flat index's plain dot
+            xn = jnp.sqrt(jnp.sum(rows * rows, axis=2))
+            qn = jnp.sqrt(jnp.sum(q * q, axis=1))
+            denom = qn[:, None] * xn
+            raw = jnp.clip(jnp.where(denom > 0.0, dots / denom, 0.0), -1.0, 1.0)
+            rank = 1.0 - raw
+        elif metric == "inner_product":
+            raw = dots
+            rank = -dots
+        else:
+            raw = -dots
+            rank = raw
+    elif metric in ("l2", "l2_squared"):
+        diff = rows - q[:, None, :]
+        sq = jnp.sum(diff * diff, axis=2)
+        raw = jnp.sqrt(sq) if metric == "l2" else sq
+        rank = raw
+    else:
+        raise ValueError(f"unsupported pipeline metric {metric}")
+    finite = jnp.all(jnp.isfinite(raw) | ~slot_ok, axis=1)
+    rank = jnp.where(slot_ok, rank, jnp.inf)
+    return raw, rank, finite
+
+
+def _subset_full_cosine_raw(raw, metric):
+    """Full-width cosine subset raw uses the plain dot (see above)."""
+    return raw
+
+
+def _top_limit(slots, raw, rank, *, limit):
+    """Final (rank, slot==lex) selection over a small candidate axis.
+    Returns (top_slots [B, limit], raws, ranks) best-first."""
+    key_slot = jnp.where(jnp.isfinite(rank), slots, _BIG32)
+    rank_s, _, slot_s, raw_s = jax.lax.sort(
+        (rank, key_slot, slots, raw), num_keys=2, dimension=1)
+    return slot_s[:, :limit], raw_s[:, :limit], rank_s[:, :limit]
+
+
+def _sort_candidates(slots, c):
+    """Candidate sets stay lex-sorted (ascending slot) between stages; pads
+    (-1) move to the end as invalid."""
+    key = jnp.where(slots >= 0, slots, _BIG32)
+    key = jax.lax.sort(key, dimension=1)
+    ok = key < _BIG32
+    return jnp.where(ok, key, 0), ok
+
+
+# ---------------------------------------------------------------------------
+# sign-bit expansion + MXU Hamming
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def signs_from_bits(bits, *, d):
+    """Expands packed sign words [N, W] u32 into a ±1 int8 block [N, d] —
+    the MXU-ready quantized representation (bit i%32 of word i//32, the
+    pack_signs_u32 layout)."""
+    n, w = bits.shape
+    expanded = (bits[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]) & 1
+    flat = expanded.reshape(n, w * 32)[:, :d]
+    return (flat.astype(jnp.int8) * 2 - 1).astype(jnp.int8)
+
+
+@jax.jit
+def query_signs(queries):
+    """±1 int8 signs of prepared queries (>= 0 rule, distances.rs:413-423)."""
+    return jnp.where(queries >= 0.0, jnp.int8(1), jnp.int8(-1))
+
+
+def _hamming_rank(signs, valid, qsigns, *, d):
+    """[B, N] Hamming distances via one int8 MXU matmul:
+    ham = (d - s·q) / 2, exactly the packed XOR+popcount value."""
+    dots = jax.lax.dot_general(
+        qsigns, signs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    ham = (d - dots) // 2
+    return jnp.where(valid[None, :], ham.astype(jnp.float32), jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# pipelines (batched; single-query wrappers at the bottom)
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "stages", "count", "limit"))
 def funnel_pipeline_batch(x, valid, queries, *, metric, stages, count, limit):
-    """Vmapped :func:`funnel_pipeline` over ``queries`` [B, d]."""
+    """Matryoshka funnel: prefix stage + exact rerank, one dispatch.
+    Returns (slots [B, limit], raws, ranks, ok [B])."""
+    rank, finite = _rank_full(x, valid, queries, metric=metric, dims=stages[0])
+    slots, _, sel_ok = exact_top_c(rank, None, c=count)
+    slots, slot_ok = _sort_candidates(slots, count)
+    ok = finite & sel_ok
+    for dims in stages[1:]:
+        raw, rank_c, f = _subset_raw_rank(x, slots, slot_ok, queries,
+                                          metric=metric, dims=dims)
+        ok = ok & f
+        # reference semantics: keep the best `count` per stage (with C ==
+        # count this re-orders only; sets shrink when count > survivors)
+        sel, _, _ = _top_limit(slots, raw, rank_c, limit=min(count, slots.shape[1]))
+        slots, slot_ok = _sort_candidates(sel, count)
+    raw, rank_f, f = _subset_raw_rank(x, slots, slot_ok, queries,
+                                      metric=metric, dims=x.shape[1])
+    ok = ok & f
+    top, raws, ranks = _top_limit(slots, raw, rank_f, limit=limit)
+    return top, raws, ranks, ok
 
-    def one(q):
-        return funnel_pipeline(x, valid, q, metric=metric, stages=stages,
-                               count=count, limit=limit)
 
-    return jax.vmap(one)(queries)
+@functools.partial(jax.jit, static_argnames=("metric", "count", "limit", "d"))
+def quantized_pipeline_batch(x, signs, valid, queries, *, metric, count, limit, d):
+    """Binary-quantized candidates (MXU Hamming) + exact rerank."""
+    qs = query_signs(queries[:, :d])
+    rank_h = _hamming_rank(signs, valid, qs, d=d)
+    slots, _, sel_ok = exact_top_c(rank_h, None, c=count)
+    slots, slot_ok = _sort_candidates(slots, count)
+    raw, rank_f, finite = _subset_raw_rank(x, slots, slot_ok, queries,
+                                           metric=metric, dims=x.shape[1])
+    top, raws, ranks = _top_limit(slots, raw, rank_f, limit=limit)
+    return top, raws, ranks, sel_ok & finite
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "count", "limit"))
-def quantized_pipeline_batch(x, bits, valid, queries, qbits, *, metric, count, limit):
-    """Vmapped :func:`quantized_pipeline` over ``queries`` [B, d] and
-    ``qbits`` [B, W]."""
+@functools.partial(jax.jit, static_argnames=("metric", "stages", "count"))
+def funnel_candidates_batch(x, valid, queries, *, metric, stages, count):
+    """Funnel stages only (hybrid generator): lex-sorted candidates.
+    Returns (slots [B, C], slot_ok [B, C], ok [B])."""
+    rank, finite = _rank_full(x, valid, queries, metric=metric, dims=stages[0])
+    slots, _, sel_ok = exact_top_c(rank, None, c=count)
+    slots, slot_ok = _sort_candidates(slots, count)
+    ok = finite & sel_ok
+    for dims in stages[1:]:
+        raw, rank_c, f = _subset_raw_rank(x, slots, slot_ok, queries,
+                                          metric=metric, dims=dims)
+        ok = ok & f
+        sel, _, _ = _top_limit(slots, raw, rank_c, limit=min(count, slots.shape[1]))
+        slots, slot_ok = _sort_candidates(sel, count)
+    return slots, slot_ok, ok
 
-    def one(q, qb):
-        return quantized_pipeline(x, bits, valid, q, qb, metric=metric,
-                                  count=count, limit=limit)
 
-    return jax.vmap(one)(queries, qbits)
+@functools.partial(jax.jit, static_argnames=("count", "d"))
+def quantized_candidates_batch(signs, valid, queries, *, count, d):
+    """Hamming candidates only (hybrid generator)."""
+    qs = query_signs(queries[:, :d])
+    rank_h = _hamming_rank(signs, valid, qs, d=d)
+    slots, _, sel_ok = exact_top_c(rank_h, None, c=count)
+    slots, slot_ok = _sort_candidates(slots, count)
+    return slots, slot_ok, sel_ok
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "limit"))
+def rerank_batch(x, slots, slot_ok, queries, *, metric, limit):
+    """Exact full-dims rerank of per-query lex-sorted candidate sets.
+    Returns (top_slots [B, limit], raws, ranks, ok [B])."""
+    raw, rank_f, finite = _subset_raw_rank(x, slots, slot_ok, queries,
+                                           metric=metric, dims=x.shape[1])
+    top, raws, ranks = _top_limit(slots, raw, rank_f, limit=limit)
+    return top, raws, ranks, finite
+
+
+# ---------------------------------------------------------------------------
+# single-query wrappers (collection single-shot paths)
+# ---------------------------------------------------------------------------
+
+
+def funnel_pipeline(x, valid, q, *, metric, stages, count, limit):
+    top, raws, ranks, ok = funnel_pipeline_batch(
+        x, valid, q[None, :], metric=metric, stages=stages, count=count, limit=limit)
+    return top[0], raws[0], ranks[0], ok[0]
+
+
+def quantized_pipeline(x, signs, valid, q, *, metric, count, limit, d):
+    top, raws, ranks, ok = quantized_pipeline_batch(
+        x, signs, valid, q[None, :], metric=metric, count=count, limit=limit, d=d)
+    return top[0], raws[0], ranks[0], ok[0]
+
+
+def funnel_candidates_pipeline(x, valid, q, *, metric, stages, count):
+    slots, slot_ok, ok = funnel_candidates_batch(
+        x, valid, q[None, :], metric=metric, stages=stages, count=count)
+    return slots[0], slot_ok[0], ok[0]
+
+
+def quantized_candidates_pipeline(signs, valid, q, *, count, d):
+    slots, slot_ok, ok = quantized_candidates_batch(
+        signs, valid, q[None, :], count=count, d=d)
+    return slots[0], slot_ok[0], ok[0]
+
+
+def rerank_pipeline(x, slots, slot_ok, q, *, metric, limit):
+    top, raws, ranks, ok = rerank_batch(
+        x, slots[None, :], slot_ok[None, :], q[None, :], metric=metric, limit=limit)
+    return top[0], raws[0], ranks[0], ok[0]
