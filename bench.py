@@ -258,6 +258,47 @@ def graph_cache_name(n, d):
     return f"hnsw_{n}x{d}_m{p['m']}m0{p['m0']}efc{p['ef_construction']}_s{SEED}_v1.npz"
 
 
+def prime_main(n, d):
+    """Cache-priming with minimal HBM residency: the timed path holds the
+    flat index block (3 GB at 1M x 768) *plus* the build's permuted copy,
+    which OOMs a 16 GB v5e mid-wave. Priming needs neither timing nor ground
+    truth, so build the graph from one uploaded corpus block (peak = 2 copies
+    + wave working set) and persist only the adjacency."""
+    import jax.numpy as jnp
+
+    from vettore_tpu.index.hnsw import HnswIndex
+    from vettore_tpu.ops.transport import fetch_barrier, put_f32_matrix
+
+    _phase("prime: session init")
+    fetch_barrier(jnp.ones((8, 128)) * 2.0)
+
+    _phase(f"prime: corpus {n}x{d}")
+    data = cached_corpus(n, d)
+    ids = [f"doc-{i:07d}" for i in range(n)]
+
+    graph_path = _cache_path(graph_cache_name(n, d))
+    if not os.path.exists(graph_path):
+        _phase("prime: upload")
+        x = put_f32_matrix(data)
+        fetch_barrier(x)
+        _phase(f"prime: hnsw build (est {max(120.0, n / 1_000_000 * 1500):.0f}s)")
+        t0 = time.perf_counter()
+        hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
+        hnsw.bulk_ingest_device(ids, x)
+        del x
+        fetch_barrier(hnsw._bulk.a0)
+        _phase(f"prime: built in {time.perf_counter() - t0:.1f}s; saving graph")
+        hnsw.save_graph(graph_path, include_x=False)
+        del hnsw
+    else:
+        _phase("prime: graph cache already present")
+
+    # multi-vector corpus + graph caches (config 5; small next to the 1M block)
+    mv_caches(n)
+    STATE.update({"metric": "prime_cache", "value": 1.0, "unit": "ok"})
+    emit(final=True)
+
+
 def main():
     args = sys.argv[1:]
     headline_only = "--headline-only" in args
@@ -273,6 +314,9 @@ def main():
         n, d = 1_000_000, 768
     else:
         n, d = pick_scale(args)
+    if prime:
+        prime_main(n, d)
+        return
     batch = 32 if smoke else 512
     q_count = 32 if smoke else 512
     detail = STATE["detail"]
@@ -483,14 +527,10 @@ def main():
     emit(final=True)
 
 
-def run_hybrid_mv(detail, n, prime):
-    """Hybrid (hnsw+quantized generators) -> ColBERT MaxSim rerank -> MMR,
-    config 5: 32 x 128d token vectors/doc."""
-    import jax.numpy as jnp
-
-    from vettore_tpu.collection import Collection
-    from vettore_tpu.index.hnsw import HnswIndex
-    from vettore_tpu.ops.transport import fetch_barrier, round_to_bf16
+def mv_caches(n):
+    """Builds the multi-vector disk caches (docs + token blocks); returns
+    (mv_n, mv_d, mv_t, mv_docs, tokens). CPU-only, cheap next to the graph."""
+    from vettore_tpu.ops.transport import round_to_bf16
 
     mv_n, mv_d, mv_t = min(n, 100_000), 128, 32
     _phase(f"multi-vector corpus {mv_n}x{mv_t}x{mv_d}")
@@ -507,6 +547,22 @@ def run_hybrid_mv(detail, n, prime):
             mv_docs[:, None, :] + token_noise * rng.standard_normal(
                 (mv_n, mv_t, mv_d), dtype=np.float32))
         np.save(tok_path, (tokens.view(np.uint32) >> 16).astype(np.uint16))
+    return mv_n, mv_d, mv_t, mv_docs, tokens
+
+
+def run_hybrid_mv(detail, n, prime):
+    """Hybrid (hnsw+quantized generators) -> ColBERT MaxSim rerank -> MMR,
+    config 5: 32 x 128d token vectors/doc. Round-3 serving path: the whole
+    query batch runs through ``hybrid_search_batch`` (device generator union
+    + batched MaxSim subset rerank) and a device MMR
+    (ops/mmr.mmr_rerank_batch); the token block is bf16-resident."""
+    from vettore_tpu.collection import Collection
+    from vettore_tpu.index.hnsw import HnswIndex
+    from vettore_tpu.ops.mmr import mmr_rerank_batch
+    from vettore_tpu.ops.transport import round_to_bf16
+
+    mv_n, mv_d, mv_t, mv_docs, tokens = mv_caches(n)
+    token_noise = np.float32(0.3 / np.sqrt(mv_d))
 
     mv_ids = [f"mv-{i:06d}" for i in range(mv_n)]
     mv_col = Collection(name="bench-mv", dimensions=mv_d, metric="cosine",
@@ -533,42 +589,59 @@ def run_hybrid_mv(detail, n, prime):
         mv_col.attach_index(idx)
     detail_build += time.perf_counter() - t0
 
-    mv_queries = make_queries(mv_docs, 64, seed=SEED + 11)
+    qb = 64
+    mv_queries = make_queries(mv_docs, 2 * qb, seed=SEED + 11)
+    rq = np.random.default_rng(SEED + 12)
+    qsets = [
+        [list(t) for t in round_to_bf16(
+            qv[None, :] + token_noise * rq.standard_normal((4, mv_d), dtype=np.float32))]
+        for qv in mv_queries
+    ]
+    queries_l = [list(q) for q in mv_queries]
+    cand = int(os.environ.get("VETTORE_BENCH_HYBRID_CAND", "1000"))
+    gens = [("hnsw", {"candidates": cand}), ("quantized", {"candidates": cand})]
 
-    def query_tokens(qv, r):
-        return round_to_bf16(qv[None, :] + token_noise * r.standard_normal(
-            (4, mv_d), dtype=np.float32))
-
-    from vettore_tpu.ops.mmr import mmr_rerank
-
-    def hybrid_one(qv, toks):
-        results = mv_col.hybrid_search(
-            list(qv), limit=30,
-            generators=[("hnsw", {"candidates": 500}),
-                        ("quantized", {"candidates": 500})],
-            rerank=("multi_vector", [list(t) for t in toks]))
-        initial = [(r.id, float(r.score)) for r in results]
-        pool = [(r.id, list(np.asarray(mv_col.get(r.id).vector))) for r in results]
-        return results, mmr_rerank(initial, pool, "cosine", 0.5, 10)
+    def hybrid_batch(lo, hi):
+        results = mv_col.hybrid_search_batch(
+            queries_l[lo:hi], limit=30, generators=gens,
+            rerank=("multi_vector", qsets[lo:hi]))
+        initial = [[(r.id, float(r.score)) for r in row] for row in results]
+        vecs = np.zeros((len(results), 30, mv_d), np.float32)
+        for b, row in enumerate(results):
+            for i, r in enumerate(row):
+                vecs[b, i] = np.asarray(mv_col.get(r.id).vector, np.float32)
+        reranked = mmr_rerank_batch(initial, vecs, metric="cosine",
+                                    alpha=0.5, final_k=10)
+        return results, reranked
 
     # overlap BEFORE MMR (MMR diversifies away from pure top-10 by design)
-    rq = np.random.default_rng(SEED + 12)
-    agree = []
-    for qv in mv_queries[:8]:
-        toks = query_tokens(qv, rq)
-        results, _rr = hybrid_one(qv, toks)
-        exact = mv_col.multi_vector_search([list(t) for t in toks], limit=10)
-        agree.append(len({r.id for r in results[:10]} & {r.id for r in exact}) / 10)
+    results, _rr = hybrid_batch(0, qb)
+    exact = mv_col.multi_vector_search_batch(qsets[:qb], limit=10)
+    agree = [
+        len({r.id for r in row[:10]} & {r.id for r in ex}) / 10
+        for row, ex in zip(results, exact)
+    ]
 
+    # exact full-corpus MaxSim throughput (the chunked streaming scan)
     t0 = time.perf_counter()
-    count = 16
-    for qv in mv_queries[8:8 + count]:
-        hybrid_one(qv, query_tokens(qv, rq))
-    lat_ms = (time.perf_counter() - t0) / count * 1000
+    mv_col.multi_vector_search_batch(qsets[qb : 2 * qb], limit=10)
+    mv_qps = qb / (time.perf_counter() - t0)
+
+    lat = []
+    for i in range(4):
+        lo = (i % 2) * qb  # rotate halves so no dispatch repeats its inputs
+        t0 = time.perf_counter()
+        hybrid_batch(lo, lo + qb)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = min(lat) / qb * 1000
     detail["hybrid_maxsim_mmr"] = {
         "docs": mv_n, "tokens": mv_t, "dims": mv_d,
         "build_s": round(detail_build, 1),
-        "latency_ms_per_query": round(lat_ms, 1),
+        "candidates": cand,
+        "batch": qb,
+        "latency_ms_per_query": round(lat_ms, 2),
+        "qps": round(1000.0 / lat_ms, 1),
+        "exact_maxsim_qps": round(mv_qps, 1),
         "overlap_at_10_vs_exact_maxsim": round(float(np.mean(agree)), 4),
     }
     _phase(f"hybrid+maxsim+mmr {detail['hybrid_maxsim_mmr']}")

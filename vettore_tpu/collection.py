@@ -83,6 +83,18 @@ def _pow2_at_least(n: int, floor: int = 8) -> int:
 
 
 _ROW_TILE = 1024
+_BIG32 = 2**31 - 1
+
+
+def _mv_chunk(cap: int, b: int, qt: int, t: int) -> int:
+    """Doc-chunk size for the streaming MaxSim scan: bounds the
+    [B, chunk, Qt, T] similarity block to ~512 MB f32 (the only large
+    intermediate; the token block itself stays resident)."""
+    budget = 512 * 1024 * 1024 // 4
+    per_row = max(1, b * qt * t)
+    chunk = max(budget // per_row, 1)
+    chunk = max(1024, 1 << int(math.floor(math.log2(chunk))))
+    return min(cap, chunk)
 
 
 def _cap_at_least(n: int, floor: int = 8) -> int:
@@ -128,6 +140,8 @@ class _VectorCache:
         self._bits = None
         self._signs = None
         self._mv = None
+        self._ids_np = None
+        self._index_tables = {}
 
     def _stack_vectors(self) -> np.ndarray:
         """One [n, d] f32 matrix of all primary vectors, validated in bulk —
@@ -160,6 +174,14 @@ class _VectorCache:
                 raise E.InvalidVector("vector contains a non-finite value")
         self._host_mat = block
         return block
+
+    def valid_mask(self):
+        """Device [cap] bool marking live slots — the cache is lex-packed so
+        this is just ``slot < n`` (no need to materialize the primary block
+        for multi-vector-only searches)."""
+        if self._x is not None:
+            return self._x[1]
+        return jnp.arange(self.cap) < self.n
 
     def vectors(self):
         if self._x is not None:
@@ -248,7 +270,9 @@ class _VectorCache:
                         raise E.InvalidMultiVector("invalid multi vector")
                     tokens[i, 0] = row
                     counts[i] = 1
-            self._mv = (jnp.asarray(tokens), jnp.asarray(counts))
+            from .ops.transport import put_token_block
+
+            self._mv = (put_token_block(tokens), jnp.asarray(counts))
             return self._mv
         docs = []
         for r in self.records:
@@ -271,7 +295,11 @@ class _VectorCache:
         for i, rows in enumerate(docs):
             counts[i] = len(rows)
             tokens[i, : len(rows)] = rows
-        self._mv = (jnp.asarray(tokens), jnp.asarray(counts))
+        from .ops.transport import put_token_block
+
+        # bf16-exact corpora stay bfloat16-resident (half the HBM — the
+        # difference between a 1M x 32 x 128 corpus fitting on one chip or not)
+        self._mv = (put_token_block(tokens), jnp.asarray(counts))
         return self._mv
 
     def signs(self):
@@ -282,6 +310,40 @@ class _VectorCache:
 
             self._signs = signs_from_bits(self.bits(), d=self.dimensions)
         return self._signs
+
+    def index_slot_table(self, index):
+        """Device int32 table mapping an index's internal slots to cache
+        (lex) slots, ``2**31 - 1`` where an index slot's id is absent from
+        the cache — lets hybrid generators stay on device end to end.
+        Returns None for custom indexes without a device slot vocabulary."""
+        key = id(index)
+        if key in self._index_tables:
+            return self._index_tables[key]
+        index_ids = None
+        if isinstance(index, FlatIndex):
+            index_ids = index._ids
+        else:
+            # HNSW: the device graph's id list (callers touch the device
+            # search path first, which refreshes _device)
+            graph = getattr(index, "_bulk", None) or getattr(index, "_device", None)
+            if graph is not None and hasattr(graph, "ids"):
+                index_ids = graph.ids
+        if index_ids is None:
+            self._index_tables[key] = None
+            return None
+        if self._ids_np is None:
+            self._ids_np = np.asarray(self.ids, dtype=str)
+        src = np.asarray([i if isinstance(i, str) else "" for i in index_ids], dtype=str)
+        if self.n:
+            pos = np.searchsorted(self._ids_np, src)
+            posc = np.clip(pos, 0, self.n - 1)
+            match = self._ids_np[posc] == src
+            table = np.where(match, posc, np.int32(2**31 - 1)).astype(np.int32)
+        else:
+            table = np.full(len(src), 2**31 - 1, dtype=np.int32)
+        dev = jnp.asarray(table)
+        self._index_tables[key] = dev
+        return dev
 
 
 def _mv_pipeline(tokens, counts, valid, queries, *, metric, limit):
@@ -1061,6 +1123,70 @@ class Collection:
             for id, score in hits
         ]
 
+    def _pad_query_sets(self, query_sets):
+        """Prepares a batch of ragged query token sets: returns
+        ``(qtok [B, Qmax, d] f32, qmask [B, Qmax] bool)`` with Qmax bucketed
+        to a power of two (bounds recompiles across varying token counts)."""
+        per = [self._prepare_query_vectors(qs) for qs in query_sets]
+        qmax = _pow2_at_least(max(p.shape[0] for p in per), 1)
+        qtok = np.zeros((len(per), qmax, self.dimensions), np.float32)
+        qmask = np.zeros((len(per), qmax), bool)
+        for i, p in enumerate(per):
+            qtok[i, : p.shape[0]] = p
+            qmask[i, : p.shape[0]] = True
+        return qtok, qmask
+
+    def _mv_slots_to_results(self, cache, slots, scores, metric) -> list:
+        results = []
+        for slot, score in zip(slots, scores):
+            if slot < 0 or not np.isfinite(score):
+                continue
+            r = cache.records[int(slot)]
+            results.append(
+                Result(id=r.id, value=r.value, score=float(score), distance=None,
+                       metric=metric, metadata=r.metadata)
+            )
+        return results
+
+    @observed("multi_vector_search_batch")
+    def multi_vector_search_batch(self, query_sets, *, limit=10, metric=None,
+                                  **extra) -> list:
+        """Batched ColBERT MaxSim over the full corpus: one query token set
+        per batch element (ragged ok), one chunked device scan for the whole
+        batch. Doc chunks stream through the similarity kernel, so the corpus
+        is bounded by the token block's HBM footprint (bf16-resident when
+        lossless), not by any [D, Q, T] intermediate."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        metric = normalize_metric(metric) if metric is not None else self.metric
+        if metric not in METRICS:
+            raise E.InvalidMetric(f"invalid metric: {metric!r}")
+        self.ensure_open()
+        if not isinstance(query_sets, (list, tuple)):
+            raise E.InvalidMultiVector("invalid multi vector")
+        if len(query_sets) == 0:
+            return []
+        qtok, qmask = self._pad_query_sets(query_sets)
+        cache = self._scan_cache()
+        if cache.n == 0:
+            return [[] for _ in query_sets]
+        tokens, counts = cache.multi_vectors()
+        valid = cache.valid_mask()
+        k = min(limit, cache.n)
+        chunk = _mv_chunk(cache.cap, qtok.shape[0], qtok.shape[1], tokens.shape[1])
+        slots, scores, ok = jax.device_get(maxsim_ops.maxsim_full_topk_batch(
+            tokens, counts, valid, jnp.asarray(qtok), jnp.asarray(qmask),
+            metric=metric, limit=k, chunk=chunk,
+        ))
+        out = []
+        for b in range(len(query_sets)):
+            if not bool(ok[b]):
+                out.append(self._multi_vector_host(
+                    cache, None, qtok[b][qmask[b]], metric, limit))
+            else:
+                out.append(self._mv_slots_to_results(cache, slots[b], scores[b], metric))
+        return out
+
     @observed("hybrid_search")
     def hybrid_search(self, query, *, limit=10, generators=None, rerank="exact",
                       **extra) -> list:
@@ -1087,7 +1213,9 @@ class Collection:
                     candidate_ids.append(id)
         return self._hybrid_rerank(cache, q, candidate_ids, rerank, limit)
 
-    def _run_generator(self, cache, q, gen, limit) -> list:
+    def _parse_generator(self, gen, limit):
+        """Validates one hybrid generator spec; returns (name, candidates,
+        stages) with stages only set for funnel (collection.ex:535-556)."""
         if isinstance(gen, str):
             name, opts = gen, {}
         elif isinstance(gen, tuple) and len(gen) == 2 and isinstance(gen[0], str):
@@ -1113,9 +1241,179 @@ class Collection:
             or candidates > MAX_USIZE
         ):
             raise E.InvalidCandidates(f"invalid candidates: {candidates!r}")
-
+        stages = None
         if name == "funnel":
             stages = self._funnel_stages(opts.get("stages"), opts.get("dimensions"))
+        return name, candidates, stages
+
+    @observed("hybrid_search_batch")
+    def hybrid_search_batch(self, queries, *, limit=10, generators=None,
+                            rerank="exact", **extra) -> list:
+        """Batched hybrid pipeline: all generators run as one device dispatch
+        per generator over the whole query batch, the candidate union happens
+        on device (sort + neighbor-dedup, ops/pipeline.union_candidates), and
+        the rerank (exact or MaxSim) is batched. With a ``multi_vector``
+        rerank, pass one query token set per query:
+        ``("multi_vector", [qset_0, ..., qset_B-1])`` (+ optional opts dict).
+        Semantics per query match ``hybrid_search``
+        (collection.ex:337-348,516-658); any per-query overflow falls back to
+        the single-query host path."""
+        _reject_extra(extra)
+        _validate_limit(limit)
+        if generators is None:
+            generators = (
+                ["hnsw", "quantized"] if self.index_kind == "hnsw" else ["funnel", "quantized"]
+            )
+        if not isinstance(generators, (list, tuple)) or not generators:
+            raise E.InvalidGenerator(generators)
+        parsed = [self._parse_generator(g, limit) for g in generators]
+
+        mv_rerank = None
+        if rerank != "exact":
+            if not (
+                isinstance(rerank, tuple)
+                and len(rerank) in (2, 3)
+                and rerank[0] == "multi_vector"
+            ):
+                raise E.InvalidRerank(rerank)
+            opts = dict(rerank[2]) if len(rerank) == 3 else {}
+            for key in opts:
+                if key != "metric":
+                    raise E.UnsupportedOption(key)
+            mv_metric = normalize_metric(opts.get("metric", self.metric))
+            if mv_metric not in METRICS:
+                raise E.InvalidMetric(f"invalid metric: {mv_metric!r}")
+            mv_rerank = (mv_metric, rerank[1])
+
+        prepared = self._prepare_query_batch(queries)
+        B = prepared.shape[0]
+        if mv_rerank is not None:
+            if not isinstance(mv_rerank[1], (list, tuple)) or len(mv_rerank[1]) != B:
+                raise E.InvalidMultiVector(
+                    "multi_vector rerank needs one query token set per query"
+                )
+        cache = self._scan_cache()
+        if B == 0:
+            return []
+        if cache.n == 0:
+            return [[] for _ in range(B)]
+        qdev = jnp.asarray(prepared.astype(np.float32))
+
+        blocks = []
+        gen_oks = []  # device [B] flags; False -> that query re-runs on host
+        for name, candidates, stages in parsed:
+            count = min(candidates, cache.n)
+            if name == "funnel":
+                x, valid = cache.vectors()
+                slots, slot_ok, g_ok = pipe.funnel_candidates_batch(
+                    x, valid, qdev, metric=self.metric, stages=tuple(stages),
+                    count=count,
+                )
+                blocks.append(jnp.where(slot_ok, slots, _BIG32))
+                gen_oks.append(g_ok)
+            elif name == "quantized":
+                signs = cache.signs()
+                valid = cache.valid_mask()
+                slots, slot_ok, g_ok = pipe.quantized_candidates_batch(
+                    signs, valid, qdev, count=count, d=self.dimensions,
+                )
+                blocks.append(jnp.where(slot_ok, slots, _BIG32))
+                gen_oks.append(g_ok)
+            else:
+                if name == "hnsw" and self.index_kind != "hnsw":
+                    raise E.HnswIndexRequired("hnsw generator requires an hnsw index")
+                cand_dev = getattr(self._index, "candidate_slots_device", None)
+                table = None
+                if callable(cand_dev):
+                    islots, iok = cand_dev(qdev, count)
+                    # AFTER the device search (it refreshes the device graph)
+                    table = cache.index_slot_table(self._index)
+                if table is not None:
+                    mapped = jnp.where(
+                        iok, table[jnp.clip(islots, 0, table.shape[0] - 1)], _BIG32
+                    )
+                    blocks.append(mapped)
+                else:
+                    # custom index without a device path: host per-query scan
+                    rows = []
+                    for b in range(B):
+                        hits = self._index.search(prepared[b], count)
+                        rows.append(
+                            [cache.slot_of[i] for i, _ in hits if i in cache.slot_of]
+                        )
+                    width = max([len(r) for r in rows] + [1])
+                    arr = np.full((B, width), _BIG32, np.int32)
+                    for b, r in enumerate(rows):
+                        arr[b, : len(r)] = r
+                    blocks.append(jnp.asarray(arr))
+
+        cat = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=1)
+        u_slots, u_ok = pipe.union_candidates(cat)
+        k = min(limit, cache.n)
+
+        if mv_rerank is None:
+            x, _valid = cache.vectors()
+            top, raws, ranks, fin = pipe.rerank_batch(
+                x, u_slots, u_ok, qdev, metric=self.metric, limit=k,
+            )
+            top, raws, ranks, fin, *g_ok_host = jax.device_get(
+                (top, raws, ranks, fin, *gen_oks))
+            out = []
+            for b in range(B):
+                if not (bool(fin[b]) and all(bool(o[b]) for o in g_ok_host)):
+                    out.append(self._hybrid_fallback(queries, b, limit, generators, rerank))
+                else:
+                    out.append(self._slots_to_results(cache, top[b], raws[b], ranks[b]))
+            return out
+
+        mv_metric, qsets = mv_rerank
+        qtok, qmask = self._pad_query_sets(qsets)
+        tokens, counts = cache.multi_vectors()
+        # chunk the query batch so the [B, C, T, d] candidate gather stays
+        # bounded (~512 MB)
+        width = int(u_slots.shape[1])
+        t_max = int(tokens.shape[1])
+        per_q = max(1, width * t_max * self.dimensions)
+        bs = max(1, (512 * 1024 * 1024 // 4) // per_q)
+        tops, scores_l, oks = [], [], []
+        for s in range(0, B, bs):
+            t, sc, o = maxsim_ops.maxsim_subset_topk_batch(
+                tokens, counts, u_slots[s : s + bs], u_ok[s : s + bs],
+                jnp.asarray(qtok[s : s + bs]), jnp.asarray(qmask[s : s + bs]),
+                metric=mv_metric, limit=k,
+            )
+            tops.append(t)
+            scores_l.append(sc)
+            oks.append(o)
+        top = jnp.concatenate(tops)
+        scores = jnp.concatenate(scores_l)
+        mv_ok = jnp.concatenate(oks)
+        top, scores, mv_ok, *g_ok_host = jax.device_get((top, scores, mv_ok, *gen_oks))
+        out = []
+        for b in range(B):
+            if not (bool(mv_ok[b]) and all(bool(o[b]) for o in g_ok_host)):
+                single_rerank = (
+                    ("multi_vector", qsets[b])
+                    if len(rerank) == 2
+                    else ("multi_vector", qsets[b], rerank[2])
+                )
+                out.append(self._hybrid_fallback(queries, b, limit, generators,
+                                                 single_rerank))
+            else:
+                out.append(self._mv_slots_to_results(cache, top[b], scores[b], mv_metric))
+        return out
+
+    def _hybrid_fallback(self, queries, b, limit, generators, rerank):
+        """Single-query host re-run for a batch element whose device pipeline
+        overflowed (f64-recovery posture, distances.rs:59-98)."""
+        q_raw = np.asarray(queries, dtype=np.float64)[b]
+        return self.hybrid_search(q_raw, limit=limit, generators=generators,
+                                  rerank=rerank)
+
+    def _run_generator(self, cache, q, gen, limit) -> list:
+        name, candidates, stages = self._parse_generator(gen, limit)
+
+        if name == "funnel":
             if cache.n == 0:
                 return []
             x, valid = cache.vectors()

@@ -491,6 +491,26 @@ class FlatIndex(Index):
         )
         return slots, raws
 
+    def candidate_slots_device(self, queries_device, count: int):
+        """Hybrid-generator path: returns device ``(slots [B, k], ok [B, k])``
+        where ``ok`` masks pad/invalid rows (rank +inf). Slots index this
+        index's internal slot order."""
+        self._sync_device()
+        x, valid, lex_order = self._device
+        k = bucket_limit(min(count, max(len(self._slot_of), 1)), self._cap)
+        if self._fused_eligible(k):
+            from ..ops.flat_scan import fused_flat_search
+
+            xsq, bias, lex_rank = self._device_scan
+            slots, _raws, ranks, _fin = fused_flat_search(
+                x, xsq, bias, lex_rank, queries_device, metric=self.metric, k=k,
+            )
+        else:
+            slots, _raws, ranks, _fin = _search_kernel_batch(
+                x, valid, lex_order, queries_device, metric=self.metric, limit=k
+            )
+        return slots, jnp.isfinite(ranks)
+
     def _host_search(self, q: np.ndarray, limit: int) -> list:
         """float64 fallback when f32 scoring overflowed — the analog of the
         reference's per-pair f64 recovery (distances.rs:59-98). Raises

@@ -533,6 +533,16 @@ class HnswIndex(Index):
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
+    def candidate_slots_device(self, queries_device, count: int):
+        """Hybrid-generator path: device ``(slots [B, k], ok [B, k])`` with
+        ``ok`` masking the beam's -1 pads. Slots index the device graph's
+        internal slot order (map through the graph id table to external
+        ids/cache slots)."""
+        import jax.numpy as _jnp
+
+        slots, raws = self.search_batch_device(queries_device, count)
+        return slots, (slots >= 0) & _jnp.isfinite(raws)
+
     def _use_device(self) -> bool:
         # bulk graphs only exist on device; otherwise device beam search pays
         # off past a few thousand nodes

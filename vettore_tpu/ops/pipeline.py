@@ -237,6 +237,23 @@ def quantized_candidates_batch(signs, valid, queries, *, count, d):
     return slots, slot_ok, sel_ok
 
 
+@jax.jit
+def union_candidates(blocks):
+    """Unions per-query candidate slot sets from several generators.
+
+    ``blocks`` is a [B, C_total] int32 concatenation of generator outputs
+    with ``_BIG32`` at invalid/pad positions. Returns lex-sorted
+    ``(slots [B, C_total], ok [B, C_total])`` with duplicates and pads masked
+    off — the device equivalent of the reference's union-by-id
+    (collection.ex:617-629; first-seen order is irrelevant because every
+    rerank re-sorts by (rank, id))."""
+    key = jax.lax.sort(blocks, dimension=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((key.shape[0], 1), bool), key[:, 1:] == key[:, :-1]], axis=1)
+    ok = (key < _BIG32) & ~dup
+    return jnp.where(ok, key, 0), ok
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "limit"))
 def rerank_batch(x, slots, slot_ok, queries, *, metric, limit):
     """Exact full-dims rerank of per-query lex-sorted candidate sets.

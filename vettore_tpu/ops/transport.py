@@ -73,3 +73,22 @@ def put_f32_matrix(mat: np.ndarray, *, allow_u16: bool = True):
         halves = (mat.view(np.uint32) >> 16).astype(np.uint16)
         return _expand_u16(jnp.asarray(halves))
     return jnp.asarray(mat)
+
+
+@jax.jit
+def _halves_to_bf16(halves):
+    return jax.lax.bitcast_convert_type(halves, jnp.bfloat16)
+
+
+def put_token_block(block: np.ndarray):
+    """Uploads a multi-vector token block, keeping it **bfloat16-resident**
+    when that is lossless: a bf16 value's bit pattern IS the high half of its
+    f32 pattern, so bf16-exact data ships as u16 and bitcasts straight to a
+    bf16 device array — half the link bytes AND half the HBM, with zero f32
+    intermediate (a [1M, 32, 128] corpus never exists as 16 GB on device).
+    Non-exact data uploads as plain f32 (full fidelity, full size)."""
+    block = np.ascontiguousarray(block, dtype=np.float32)
+    if block.size and is_bf16_exact(block):
+        halves = (block.view(np.uint32) >> 16).astype(np.uint16)
+        return _halves_to_bf16(jnp.asarray(halves))
+    return jnp.asarray(block)
