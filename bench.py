@@ -163,6 +163,19 @@ def overlap_at_k(hits, truth, k=10):
     return float(np.mean(scores))
 
 
+def cpu_single_core_qps_cached(data, queries, n, d, limit=10, count=4):
+    """Disk-cached wrapper: the baseline is a property of (corpus, host), not
+    of the build under test — pay the 3 GB tmp-file round-trip once."""
+    path = _cache_path(f"cpu_baseline_{n}x{d}_s{SEED}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["qps"]
+    qps = cpu_single_core_qps(data, queries, limit=limit, count=count)
+    with open(path, "w") as f:
+        json.dump({"qps": qps}, f)
+    return qps
+
+
 def cpu_single_core_qps(data, queries, limit=10, count=4):
     """Single-core CPU exact scan in a constrained subprocess (stand-in for
     the reference's single-core Rust NIF flat scan)."""
@@ -223,6 +236,21 @@ def timed_percentiles(dispatch, iters=10):
     for i in range(iters):
         t0 = time.perf_counter()
         fetch_barrier(dispatch(i))
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat = np.array(lat)
+    return {"p50_ms": round(float(np.percentile(lat, 50)), 2),
+            "p99_ms": round(float(np.percentile(lat, 99)), 2)}
+
+
+def timed_sync_percentiles(call, iters=6):
+    """Per-call wall-clock percentiles for synchronous (host-returning)
+    pipelines — collection batch APIs device_get before returning, so each
+    call is its own barrier."""
+    call(0)
+    lat = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        call(i)
         lat.append((time.perf_counter() - t0) * 1000)
     lat = np.array(lat)
     return {"p50_ms": round(float(np.percentile(lat, 50)), 2),
@@ -347,11 +375,17 @@ def main():
     queries = make_queries(data, 2 * max(q_count, batch))
     detail["corpus_s"] = round(time.perf_counter() - t0, 1)
 
-    # ---- flat exact (ground truth + config-1-style throughput)
+    # ---- flat exact (ground truth + config-1-style throughput). ONE
+    # Collection owns the corpus: its FlatIndex is the flat index under test
+    # AND the adaptive modes' scan cache shares its device block — the 3 GB
+    # block is host-ingested and uploaded exactly once.
     _phase("flat ingest")
-    flat = FlatIndex("cosine")
+    from vettore_tpu.collection import Collection
+
+    col = Collection(name="bench", dimensions=d, metric="cosine", index="flat")
     t0 = time.perf_counter()
-    flat.put_matrix(ids, data)
+    col.put_matrix(ids, data)
+    flat = col.index
     detail["flat_build_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     flat._sync_device()
@@ -452,17 +486,21 @@ def main():
             "value": round(hnsw_qps, 1),
         })
 
-    # ---- adaptive modes (quantized config 3, funnel config 4) + serving batch
-    if not headline_only and (prime or left() > 180):
-        try:
-            from vettore_tpu.collection import Collection
+    # ---- CPU single-core baseline (the vs_baseline denominator) — cached,
+    # and BEFORE the adaptive modes so vs_baseline survives an alarm there
+    _phase("cpu baseline")
+    try:
+        baseline_qps = cpu_single_core_qps_cached(data, queries, n, d)
+        detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
+        STATE["vs_baseline"] = round(STATE["value"] / baseline_qps, 2)
+    except Exception as exc:
+        detail["skipped"].append(f"cpu_baseline_error:{type(exc).__name__}")
 
-            _phase("collection ingest (adaptive modes)")
-            col = Collection(name="bench", dimensions=d, metric="cosine", index="flat")
-            col.put_matrix(ids, data)
+    # ---- adaptive modes (quantized config 3, funnel config 4): the scan
+    # cache shares the collection index's device block (no second upload)
+    if not headline_only and (prime or left() > 120):
+        try:
             cache = col._scan_cache()
-            # lex-ordered ingest -> the scan cache shares the flat index's
-            # device block (no second multi-GB upload)
             _x, _v = cache.vectors()
             fetch_barrier(_x)
             cand = min(500, n)
@@ -479,7 +517,8 @@ def main():
 
             q_qps = timed_qps(lambda i: quant_dispatch(i), 4, batch)
             detail["quantized"] = {"qps": round(q_qps, 1), "candidates": cand,
-                                   "overlap_at_10": round(q_overlap, 4)}
+                                   "overlap_at_10": round(q_overlap, 4),
+                                   **timed_sync_percentiles(quant_dispatch)}
             _phase(f"quantized {detail['quantized']}")
 
             stages = tuple(s for s in (128, 256, 384) if s <= d) or (d,)
@@ -497,7 +536,8 @@ def main():
             f_qps = timed_qps(lambda i: fun_dispatch(i), 4, batch)
             detail["funnel"] = {"qps": round(f_qps, 1), "stages": list(stages),
                                 "candidates": fcand,
-                                "overlap_at_10": round(f_overlap, 4)}
+                                "overlap_at_10": round(f_overlap, 4),
+                                **timed_sync_percentiles(fun_dispatch)}
             _phase(f"funnel {detail['funnel']}")
             col.close()
             del col, cache
@@ -515,14 +555,37 @@ def main():
     elif not headline_only and not smoke:
         detail["skipped"].append("hybrid_mv_budget")
 
-    # ---- CPU single-core baseline (the vs_baseline denominator)
-    _phase("cpu baseline")
-    try:
-        baseline_qps = cpu_single_core_qps(data, queries)
-        detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
-        STATE["vs_baseline"] = round(STATE["value"] / baseline_qps, 2)
-    except Exception as exc:
-        detail["skipped"].append(f"cpu_baseline_error:{type(exc).__name__}")
+    # ---- BASELINE config 1: flat exact cosine 100k x 384 f32, limit 10
+    if not headline_only and not smoke and (n, d) != (100_000, 384) and (
+            prime or left() > 100):
+        try:
+            _phase("flat 100k x 384 (config 1)")
+            d1 = 384
+            data1 = cached_corpus(100_000, d1, tag="c1")
+            q1 = make_queries(data1, 2 * batch, seed=SEED + 21)
+            f1 = FlatIndex("cosine")
+            f1.put_matrix([f"c1-{i:06d}" for i in range(100_000)], data1)
+            q1dev = jnp.asarray(q1.astype(np.float32))
+
+            def c1_dispatch(i):
+                s = (i * 37) % max(1, q1dev.shape[0] - batch + 1)
+                return f1.search_batch_device(
+                    jax.lax.dynamic_slice_in_dim(q1dev, s, batch), 10)
+
+            detail["flat_100k_384"] = {
+                "qps": round(timed_qps(c1_dispatch, 8, batch), 1),
+                **timed_percentiles(c1_dispatch),
+            }
+            _phase(f"flat 100k {detail['flat_100k_384']}")
+            del f1, q1dev
+        except Exception as exc:
+            detail["skipped"].append(f"config1_error:{type(exc).__name__}")
+
+    # vs_baseline was computed before the adaptive modes; refresh the ratio
+    # in case the headline metric changed since
+    if detail.get("cpu_single_core_exact_qps"):
+        STATE["vs_baseline"] = round(
+            STATE["value"] / detail["cpu_single_core_exact_qps"], 2)
 
     emit(final=True)
 

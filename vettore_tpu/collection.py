@@ -117,7 +117,7 @@ class _VectorCache:
     per-query [n]-gather through a lex permutation (that gather dominated
     the adaptive pipelines at 1M rows)."""
 
-    def __init__(self, records, dimensions):
+    def __init__(self, records, dimensions, mesh=None):
         self.n = len(records)
         ids = []
         seen = set()
@@ -133,9 +133,15 @@ class _VectorCache:
         self.ids = [ids[i] for i in order]
         self.slot_of = {id: i for i, id in enumerate(self.ids)}
         self.by_id = {id: r for id, r in zip(self.ids, self.records)}
+        self.mesh = mesh
         self.cap = _cap_at_least(self.n)
+        if mesh is not None:
+            # row-sharded blocks need cap % shards == 0 (equal shard rows)
+            shards = mesh.shape["shard"]
+            self.cap = -(-self.cap // shards) * shards
         self.dimensions = dimensions
         self._x = None
+        self._valid = None
         self._host_mat = None
         self._bits = None
         self._signs = None
@@ -175,13 +181,26 @@ class _VectorCache:
         self._host_mat = block
         return block
 
+    def _put(self, arr):
+        """Places a host block on device; row-sharded over the mesh's
+        ``shard`` axis when the collection has one (SURVEY §5.8 — the
+        adaptive modes run where the memory is)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(*(("shard",) + (None,) * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
     def valid_mask(self):
         """Device [cap] bool marking live slots — the cache is lex-packed so
         this is just ``slot < n`` (no need to materialize the primary block
         for multi-vector-only searches)."""
         if self._x is not None:
             return self._x[1]
-        return jnp.arange(self.cap) < self.n
+        if self._valid is None:
+            self._valid = self._put(np.arange(self.cap) < self.n)
+        return self._valid
 
     def vectors(self):
         if self._x is not None:
@@ -191,6 +210,9 @@ class _VectorCache:
             mat[: self.n] = self._stack_vectors()
         valid = np.zeros(self.cap, dtype=bool)
         valid[: self.n] = True
+        if self.mesh is not None:
+            self._x = (self._put(mat), self._put(valid))
+            return self._x
         from .ops.transport import put_f32_matrix
 
         # records are lex-sorted, so slot order IS id order; bf16-exact
@@ -242,7 +264,7 @@ class _VectorCache:
             if not np.isfinite(sub).all():
                 raise E.InvalidVector("vector contains a non-finite value")
             out[without] = pack_signs_u32(sub)
-        self._bits = jnp.asarray(out)
+        self._bits = self._put(out)
         return self._bits
 
     def multi_vectors(self):
@@ -270,9 +292,7 @@ class _VectorCache:
                         raise E.InvalidMultiVector("invalid multi vector")
                     tokens[i, 0] = row
                     counts[i] = 1
-            from .ops.transport import put_token_block
-
-            self._mv = (put_token_block(tokens), jnp.asarray(counts))
+            self._mv = (self._put_tokens(tokens), self._put(counts))
             return self._mv
         docs = []
         for r in self.records:
@@ -295,12 +315,24 @@ class _VectorCache:
         for i, rows in enumerate(docs):
             counts[i] = len(rows)
             tokens[i, : len(rows)] = rows
-        from .ops.transport import put_token_block
-
-        # bf16-exact corpora stay bfloat16-resident (half the HBM — the
-        # difference between a 1M x 32 x 128 corpus fitting on one chip or not)
-        self._mv = (put_token_block(tokens), jnp.asarray(counts))
+        self._mv = (self._put_tokens(tokens), self._put(counts))
         return self._mv
+
+    def _put_tokens(self, tokens: np.ndarray):
+        """Places a token block, bfloat16-resident when lossless (half the
+        HBM — the difference between a 1M x 32 x 128 corpus fitting on one
+        chip or not); row-sharded on a mesh."""
+        if self.mesh is None:
+            from .ops.transport import put_token_block
+
+            return put_token_block(tokens)
+        from .ops.transport import is_bf16_exact
+
+        if tokens.size and is_bf16_exact(tokens):
+            import ml_dtypes
+
+            tokens = tokens.astype(ml_dtypes.bfloat16)
+        return self._put(tokens)
 
     def signs(self):
         """Device-resident ±1 int8 sign block [cap, d] for MXU Hamming —
@@ -308,7 +340,13 @@ class _VectorCache:
         if self._signs is None:
             from .ops.pipeline import signs_from_bits
 
-            self._signs = signs_from_bits(self.bits(), d=self.dimensions)
+            signs = signs_from_bits(self.bits(), d=self.dimensions)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                signs = jax.device_put(
+                    signs, NamedSharding(self.mesh, P("shard", None)))
+            self._signs = signs
         return self._signs
 
     def index_slot_table(self, index):
@@ -823,7 +861,8 @@ class Collection:
 
     def _scan_cache(self) -> _VectorCache:
         if self._cache is None or self._cache_version != self._version:
-            cache = _VectorCache(self._store.all(), self.dimensions)
+            cache = _VectorCache(self._store.all(), self.dimensions,
+                                 mesh=self.mesh)
             self._try_share_block(cache)
             self._cache = cache
             self._cache_version = self._version
@@ -927,6 +966,12 @@ class Collection:
         _validate_candidates(candidates, limit)
         stages = self._funnel_stages(stages, dimensions)
         q = self.prepare_query(query)
+        if self.mesh is not None:
+            # one query rides the sharded batch pipeline (SURVEY §5.8);
+            # raw query, so normalization is applied exactly once
+            return self.funnel_search_batch(
+                np.asarray(query, np.float64)[None, :], limit=limit,
+                candidates=candidates, stages=list(stages))[0]
         cache = self._scan_cache()
         if cache.n == 0:
             return []
@@ -961,17 +1006,39 @@ class Collection:
         x, valid = cache.vectors()
         count = min(candidates, cache.n)
         k = min(limit, count)
-        top, raws, ranks, finite = jax.device_get(pipe.funnel_pipeline_batch(
-            x, valid, jnp.asarray(prepared),
-            metric=self.metric, stages=tuple(stages), count=count, limit=k,
-        ))
+        if self.mesh is not None:
+            from .parallel import adaptive_mesh as amesh
+
+            qp, B = self._mesh_pad_queries(prepared)
+            top, raws, ranks, finite = jax.device_get(amesh.sharded_funnel_topk(
+                self.mesh, x, valid, jnp.asarray(qp),
+                metric=self.metric, stages=tuple(stages), count=count, limit=k,
+            ))
+        else:
+            B = prepared.shape[0]
+            top, raws, ranks, finite = jax.device_get(pipe.funnel_pipeline_batch(
+                x, valid, jnp.asarray(prepared),
+                metric=self.metric, stages=tuple(stages), count=count, limit=k,
+            ))
         out = []
-        for b in range(prepared.shape[0]):
+        for b in range(B):
             if not bool(finite[b]):
                 out.append(self._funnel_host(cache, prepared[b], stages, candidates, limit))
             else:
                 out.append(self._slots_to_results(cache, top[b], raws[b], ranks[b]))
         return out
+
+    def _mesh_pad_queries(self, prepared: np.ndarray):
+        """Pads a prepared query batch to a multiple of the mesh's ``data``
+        axis (shard_map requires evenly divisible batch shards); returns
+        ``(padded, real_count)``."""
+        data = self.mesh.shape["data"]
+        B = prepared.shape[0]
+        pad = (-B) % data
+        if pad:
+            prepared = np.concatenate(
+                [prepared, np.zeros((pad, prepared.shape[1]), np.float32)])
+        return prepared.astype(np.float32, copy=False), B
 
     @observed("quantized_search_batch")
     def quantized_search_batch(self, queries, *, limit=10, candidates=None, **extra) -> list:
@@ -991,12 +1058,22 @@ class Collection:
         signs = cache.signs()
         count = min(candidates, cache.n)
         k = min(limit, count)
-        top, raws, ranks, finite = jax.device_get(pipe.quantized_pipeline_batch(
-            x, signs, valid, jnp.asarray(prepared),
-            metric=self.metric, count=count, limit=k, d=self.dimensions,
-        ))
+        if self.mesh is not None:
+            from .parallel import adaptive_mesh as amesh
+
+            qp, B = self._mesh_pad_queries(prepared)
+            top, raws, ranks, finite = jax.device_get(amesh.sharded_quantized_topk(
+                self.mesh, x, signs, valid, jnp.asarray(qp),
+                metric=self.metric, count=count, limit=k, d=self.dimensions,
+            ))
+        else:
+            B = prepared.shape[0]
+            top, raws, ranks, finite = jax.device_get(pipe.quantized_pipeline_batch(
+                x, signs, valid, jnp.asarray(prepared),
+                metric=self.metric, count=count, limit=k, d=self.dimensions,
+            ))
         out = []
-        for b in range(prepared.shape[0]):
+        for b in range(B):
             if not bool(finite[b]):
                 out.append(self._quantized_host(cache, prepared[b], candidates, limit))
             else:
@@ -1048,6 +1125,11 @@ class Collection:
             candidates = max(limit * 10, limit)
         _validate_candidates(candidates, limit)
         q = self.prepare_query(query)
+        if self.mesh is not None:
+            # raw query: normalization must be applied exactly once
+            return self.quantized_search_batch(
+                np.asarray(query, np.float64)[None, :], limit=limit,
+                candidates=candidates)[0]
         cache = self._scan_cache()
         if cache.n == 0:
             return []
@@ -1088,6 +1170,9 @@ class Collection:
             raise E.InvalidMetric(f"invalid metric: {metric!r}")
         self.ensure_open()
         queries = self._prepare_query_vectors(query_vectors)
+        if self.mesh is not None:
+            return self.multi_vector_search_batch(
+                [query_vectors], limit=limit, metric=metric)[0]
         cache = self._scan_cache()
         if cache.n == 0:
             return []
@@ -1174,10 +1259,23 @@ class Collection:
         valid = cache.valid_mask()
         k = min(limit, cache.n)
         chunk = _mv_chunk(cache.cap, qtok.shape[0], qtok.shape[1], tokens.shape[1])
-        slots, scores, ok = jax.device_get(maxsim_ops.maxsim_full_topk_batch(
-            tokens, counts, valid, jnp.asarray(qtok), jnp.asarray(qmask),
-            metric=metric, limit=k, chunk=chunk,
-        ))
+        if self.mesh is not None:
+            from .parallel import adaptive_mesh as amesh
+
+            qtok_p, B = self._mesh_pad_queries(qtok.reshape(qtok.shape[0], -1))
+            qtok_p = qtok_p.reshape(-1, qtok.shape[1], qtok.shape[2])
+            qmask_p = np.zeros((qtok_p.shape[0], qmask.shape[1]), bool)
+            qmask_p[:B] = qmask
+            slots, scores, ok = jax.device_get(amesh.sharded_maxsim_topk(
+                self.mesh, tokens, counts, valid,
+                jnp.asarray(qtok_p), jnp.asarray(qmask_p),
+                metric=metric, limit=k, chunk=chunk,
+            ))
+        else:
+            slots, scores, ok = jax.device_get(maxsim_ops.maxsim_full_topk_batch(
+                tokens, counts, valid, jnp.asarray(qtok), jnp.asarray(qmask),
+                metric=metric, limit=k, chunk=chunk,
+            ))
         out = []
         for b in range(len(query_sets)):
             if not bool(ok[b]):
@@ -1202,6 +1300,21 @@ class Collection:
         if not isinstance(generators, (list, tuple)) or not generators:
             raise E.InvalidGenerator(generators)
         q = self.prepare_query(query)
+        if self.mesh is not None:
+            # ride the sharded batch pipeline; raw query so normalization is
+            # applied exactly once
+            rr = rerank
+            if (isinstance(rerank, tuple) and len(rerank) in (2, 3)
+                    and rerank[0] == "multi_vector"):
+                rr = ("multi_vector", [rerank[1]]) + tuple(rerank[2:])
+            return self.hybrid_search_batch(
+                np.asarray(query, np.float64)[None, :], limit=limit,
+                generators=generators, rerank=rr)[0]
+        return self._hybrid_single(q, limit, generators, rerank)
+
+    def _hybrid_single(self, q, limit, generators, rerank) -> list:
+        """Host-orchestrated single-query hybrid pipeline (also the overflow
+        fallback target for the batch/mesh paths — must not re-enter them)."""
         cache = self._scan_cache()
 
         candidate_ids: list = []
@@ -1297,7 +1410,13 @@ class Collection:
             return []
         if cache.n == 0:
             return [[] for _ in range(B)]
+        amesh = None
+        if self.mesh is not None:
+            from .parallel import adaptive_mesh as amesh
+
+            prepared, B = self._mesh_pad_queries(prepared)
         qdev = jnp.asarray(prepared.astype(np.float32))
+        B_pad = prepared.shape[0]
 
         blocks = []
         gen_oks = []  # device [B] flags; False -> that query re-runs on host
@@ -1305,18 +1424,30 @@ class Collection:
             count = min(candidates, cache.n)
             if name == "funnel":
                 x, valid = cache.vectors()
-                slots, slot_ok, g_ok = pipe.funnel_candidates_batch(
-                    x, valid, qdev, metric=self.metric, stages=tuple(stages),
-                    count=count,
-                )
+                if amesh is not None:
+                    slots, slot_ok, g_ok = amesh.sharded_funnel_candidates(
+                        self.mesh, x, valid, qdev, metric=self.metric,
+                        stages=tuple(stages), count=count,
+                    )
+                else:
+                    slots, slot_ok, g_ok = pipe.funnel_candidates_batch(
+                        x, valid, qdev, metric=self.metric, stages=tuple(stages),
+                        count=count,
+                    )
                 blocks.append(jnp.where(slot_ok, slots, _BIG32))
                 gen_oks.append(g_ok)
             elif name == "quantized":
                 signs = cache.signs()
                 valid = cache.valid_mask()
-                slots, slot_ok, g_ok = pipe.quantized_candidates_batch(
-                    signs, valid, qdev, count=count, d=self.dimensions,
-                )
+                if amesh is not None:
+                    slots, slot_ok, g_ok = amesh.sharded_quantized_candidates(
+                        self.mesh, signs, valid, qdev, count=count,
+                        d=self.dimensions,
+                    )
+                else:
+                    slots, slot_ok, g_ok = pipe.quantized_candidates_batch(
+                        signs, valid, qdev, count=count, d=self.dimensions,
+                    )
                 blocks.append(jnp.where(slot_ok, slots, _BIG32))
                 gen_oks.append(g_ok)
             else:
@@ -1342,7 +1473,7 @@ class Collection:
                             [cache.slot_of[i] for i, _ in hits if i in cache.slot_of]
                         )
                     width = max([len(r) for r in rows] + [1])
-                    arr = np.full((B, width), _BIG32, np.int32)
+                    arr = np.full((B_pad, width), _BIG32, np.int32)
                     for b, r in enumerate(rows):
                         arr[b, : len(r)] = r
                     blocks.append(jnp.asarray(arr))
@@ -1353,9 +1484,15 @@ class Collection:
 
         if mv_rerank is None:
             x, _valid = cache.vectors()
-            top, raws, ranks, fin = pipe.rerank_batch(
-                x, u_slots, u_ok, qdev, metric=self.metric, limit=k,
-            )
+            if amesh is not None:
+                top, raws, ranks, fin = amesh.sharded_subset_rerank(
+                    self.mesh, x, u_slots, u_ok, qdev, metric=self.metric,
+                    limit=k,
+                )
+            else:
+                top, raws, ranks, fin = pipe.rerank_batch(
+                    x, u_slots, u_ok, qdev, metric=self.metric, limit=k,
+                )
             top, raws, ranks, fin, *g_ok_host = jax.device_get(
                 (top, raws, ranks, fin, *gen_oks))
             out = []
@@ -1368,6 +1505,12 @@ class Collection:
 
         mv_metric, qsets = mv_rerank
         qtok, qmask = self._pad_query_sets(qsets)
+        if amesh is not None and B_pad != qtok.shape[0]:
+            pad = B_pad - qtok.shape[0]
+            qtok = np.concatenate(
+                [qtok, np.zeros((pad,) + qtok.shape[1:], np.float32)])
+            qmask = np.concatenate(
+                [qmask, np.zeros((pad, qmask.shape[1]), bool)])
         tokens, counts = cache.multi_vectors()
         # chunk the query batch so the [B, C, T, d] candidate gather stays
         # bounded (~512 MB)
@@ -1375,13 +1518,23 @@ class Collection:
         t_max = int(tokens.shape[1])
         per_q = max(1, width * t_max * self.dimensions)
         bs = max(1, (512 * 1024 * 1024 // 4) // per_q)
+        if amesh is not None:
+            data = self.mesh.shape["data"]
+            bs = max(data, bs - bs % data)
         tops, scores_l, oks = [], [], []
-        for s in range(0, B, bs):
-            t, sc, o = maxsim_ops.maxsim_subset_topk_batch(
-                tokens, counts, u_slots[s : s + bs], u_ok[s : s + bs],
-                jnp.asarray(qtok[s : s + bs]), jnp.asarray(qmask[s : s + bs]),
-                metric=mv_metric, limit=k,
-            )
+        for s in range(0, B_pad, bs):
+            if amesh is not None:
+                t, sc, o = amesh.sharded_subset_maxsim(
+                    self.mesh, tokens, counts, u_slots[s : s + bs],
+                    u_ok[s : s + bs], jnp.asarray(qtok[s : s + bs]),
+                    jnp.asarray(qmask[s : s + bs]), metric=mv_metric, limit=k,
+                )
+            else:
+                t, sc, o = maxsim_ops.maxsim_subset_topk_batch(
+                    tokens, counts, u_slots[s : s + bs], u_ok[s : s + bs],
+                    jnp.asarray(qtok[s : s + bs]), jnp.asarray(qmask[s : s + bs]),
+                    metric=mv_metric, limit=k,
+                )
             tops.append(t)
             scores_l.append(sc)
             oks.append(o)
@@ -1406,9 +1559,8 @@ class Collection:
     def _hybrid_fallback(self, queries, b, limit, generators, rerank):
         """Single-query host re-run for a batch element whose device pipeline
         overflowed (f64-recovery posture, distances.rs:59-98)."""
-        q_raw = np.asarray(queries, dtype=np.float64)[b]
-        return self.hybrid_search(q_raw, limit=limit, generators=generators,
-                                  rerank=rerank)
+        q = self.prepare_query(np.asarray(queries, dtype=np.float64)[b])
+        return self._hybrid_single(q, limit, generators, rerank)
 
     def _run_generator(self, cache, q, gen, limit) -> list:
         name, candidates, stages = self._parse_generator(gen, limit)
