@@ -138,7 +138,7 @@ class HnswIndex(Index):
 
     def __len__(self) -> int:
         if self._bulk is not None:
-            return self._bulk.n
+            return self._bulk.live
         return len(self._internal)
 
     @property
@@ -184,8 +184,10 @@ class HnswIndex(Index):
 
     def put(self, id: str, vector) -> None:
         arr = self._validate(vector)
-        self._hydrate_bulk()
-        self._insert(str(id), arr)
+        if self._bulk is not None:
+            self._mutate_bulk([(str(id), arr)])
+        else:
+            self._insert(str(id), arr)
         self._version += 1
 
     def put_many(self, pairs) -> None:
@@ -205,14 +207,14 @@ class HnswIndex(Index):
             if not np.isfinite(arr).all():
                 raise InvalidVector("vector contains a non-finite value")
             batch.append((str(id), arr))
-        if (
-            self._bulk is None
-            and not self._vectors
-            and len(batch) >= self.BULK_THRESHOLD
-        ):
+        if self._bulk is not None:
+            if batch:
+                self._mutate_bulk(batch)
+                self._version += 1
+            return
+        if not self._vectors and len(batch) >= self.BULK_THRESHOLD:
             self._bulk_build(batch)
             return
-        self._hydrate_bulk()
         for id, arr in batch:
             self._insert(id, arr)
         if batch:
@@ -284,40 +286,28 @@ class HnswIndex(Index):
         index._device_version = index._version
         return index
 
-    def _hydrate_bulk(self):
-        """Converts a bulk-built device graph back into the incremental host
-        structures so put/delete can mutate it (canonical graph stays
-        host-reconstructible)."""
-        if self._bulk is None:
-            return
-        graph = self._bulk
-        a0 = np.asarray(graph.a0)
-        up_adj = np.asarray(graph.up_adj)
-        up_index = np.asarray(graph.up_index)
-        x = np.asarray(graph.x)
-        levels = np.asarray(graph.levels)
-        self._vectors = {}
-        self._external = {}
-        self._levels = {}
-        self._connections = {}
-        self._internal = {}
-        for slot in range(graph.n):
-            level = int(levels[slot])
-            conns = [[int(c) for c in a0[slot] if c >= 0]]
-            u = int(up_index[slot])
-            for layer in range(1, level + 1):
-                row = up_adj[u, layer - 1] if u >= 0 else []
-                conns.append([int(c) for c in row if c >= 0])
-            self._vectors[slot] = x[slot].astype(np.float64)
-            self._external[slot] = graph.ids[slot]
-            self._levels[slot] = level
-            self._connections[slot] = conns
-            self._internal[graph.ids[slot]] = slot
-        self._next = graph.n
-        self._entry = int(graph.entry_slot)
-        self._bulk = None
-        self._device = None
-        self._device_version = -1
+    def _mutate_bulk(self, batch) -> None:
+        """Incremental insert/replace into a bulk-built device graph: new
+        slots append through the build kernel, replaced ids tombstone
+        (hnsw_build.incremental_put) — no O(n) host hydration, no cliff."""
+        from . import hnsw_build
+
+        ids = [id for id, _ in batch]
+        vecs = np.stack([arr for _, arr in batch]).astype(np.float32)
+        hnsw_build.incremental_put(self._bulk, self.params, ids, vecs)
+        self._dim = int(self._bulk.x.shape[1])
+        if hnsw_build.should_compact(self._bulk):
+            self._compact_bulk()
+
+    def _compact_bulk(self) -> None:
+        from . import hnsw_build
+
+        graph = hnsw_build.compact(self._bulk, self.params)
+        self._bulk = graph
+        self._device = graph
+        if graph is None:
+            self._dim = None
+            self._device_version = -1
 
     def _insert(self, external_id: str, vector: np.ndarray) -> None:
         if external_id in self._internal:
@@ -378,7 +368,20 @@ class HnswIndex(Index):
             self._entry = internal
 
     def delete(self, external_id: str) -> None:
-        self._hydrate_bulk()
+        if self._bulk is not None:
+            from . import hnsw_build
+
+            removed = hnsw_build.incremental_delete(self._bulk, [str(external_id)])
+            if removed:
+                self._version += 1
+                if self._bulk.live == 0:
+                    self._bulk = None
+                    self._device = None
+                    self._device_version = -1
+                    self._dim = None
+                elif hnsw_build.should_compact(self._bulk):
+                    self._compact_bulk()
+            return
         internal = self._internal.pop(str(external_id), None)
         if internal is None:
             return
@@ -514,6 +517,8 @@ class HnswIndex(Index):
         bf16 = self.traversal == "bf16"
         xb = graph.xb if bf16 else None
         hub_slots, hub_x = graph.hubs(_jnp.bfloat16 if bf16 else _jnp.float32)
+        valid = getattr(graph, "valid", None)
+        hub_valid = graph.hub_validity() if valid is not None else None
         outs = []
         for start in range(0, queries_device.shape[0], chunk):
             ids, raws, _dists = hnsw_device._search_kernel(
@@ -524,6 +529,7 @@ class HnswIndex(Index):
                 limit=min(limit, graph.n),
                 max_steps=hnsw_device.step_bound(ef), xb=xb,
                 hub_slots=hub_slots, hub_x=hub_x,
+                hub_valid=hub_valid, valid=valid,
             )
             outs.append((ids, raws))
         if len(outs) == 1:

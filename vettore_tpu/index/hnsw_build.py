@@ -114,10 +114,16 @@ def _heuristic_select(cand_ids, cand_dists, P, deg):
 
 
 class BulkGraph:
-    """DeviceGraph-compatible result of a bulk build (see hnsw_device.search)."""
+    """DeviceGraph-compatible result of a bulk build (see hnsw_device.search).
+
+    Arrays may be capacity-padded past ``n`` once the graph has been mutated
+    incrementally (``incremental_put``/``incremental_delete``): ``n`` is the
+    slot high-water mark, ``valid`` (device bool [cap] or None) masks
+    tombstoned slots out of results, and ``live`` is the record count."""
 
     def __init__(self, ids, n, m, m0, lmax, metric, x, a0, up_index, up_adj,
-                 lex_rank, entry_slot, entry_level, levels):
+                 lex_rank, entry_slot, entry_level, levels, *, valid=None,
+                 lex_spacing=1):
         self.ids = ids
         self.n = n
         self.m = m
@@ -132,8 +138,15 @@ class BulkGraph:
         self.entry_slot = entry_slot
         self.entry_level = entry_level
         self.levels = levels
+        self.valid = valid
+        self.lex_spacing = lex_spacing
         self._xb = None
         self._hubs = {}
+        self._mut = None  # _MutState once incrementally mutated
+
+    @property
+    def live(self) -> int:
+        return self.n - (self._mut.dead if self._mut is not None else 0)
 
     @property
     def xb(self):
@@ -155,6 +168,14 @@ class BulkGraph:
             self._hubs[key] = (slots, block)
         return self._hubs[key]
 
+    def hub_validity(self):
+        """Liveness mask for the hub prefix (None when nothing is dead)."""
+        if self.valid is None:
+            return None
+        from .hnsw_device import hub_count
+
+        return self.valid[: hub_count(self.n)]
+
 
 GRAPH_MAGIC = "vettore-tpu-hnsw-graph-v1"
 
@@ -170,24 +191,32 @@ def save_graph(graph: BulkGraph, path: str, *, include_x: bool = True) -> None:
     same vectors device-resident (pass ``x_device`` at load)."""
     import tempfile
 
+    n = graph.n
+    up_used = graph._mut.up_used if graph._mut is not None else None
+    up_adj = np.asarray(graph.up_adj)
+    if up_used is not None:
+        up_adj = up_adj[: max(up_used, 1)]
     payload = {
         "magic": np.array(GRAPH_MAGIC),
         "ids": np.array(graph.ids, dtype=str),
-        "n": np.int64(graph.n),
+        "n": np.int64(n),
         "m": np.int64(graph.m),
         "m0": np.int64(graph.m0),
         "lmax": np.int64(graph.lmax),
         "metric": np.array(graph.metric),
-        "a0": np.asarray(graph.a0),
-        "up_index": np.asarray(graph.up_index),
-        "up_adj": np.asarray(graph.up_adj),
-        "lex_rank": np.asarray(graph.lex_rank),
+        "a0": np.asarray(graph.a0)[:n],
+        "up_index": np.asarray(graph.up_index)[:n],
+        "up_adj": up_adj,
+        "lex_rank": np.asarray(graph.lex_rank)[:n],
         "entry_slot": np.int64(int(graph.entry_slot)),
         "entry_level": np.int64(int(graph.entry_level)),
-        "levels": np.asarray(graph.levels),
+        "levels": np.asarray(graph.levels)[:n],
+        "lex_spacing": np.int64(graph.lex_spacing),
     }
+    if graph._mut is not None and graph._mut.dead:
+        payload["valid"] = graph._mut.valid_np[:n].copy()
     if include_x:
-        payload["x"] = np.asarray(graph.x)
+        payload["x"] = np.asarray(graph.x)[:n]
     dirname = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(dirname, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=dirname, suffix=".tmp")
@@ -218,7 +247,10 @@ def load_graph(path: str, *, x_device=None) -> BulkGraph:
             x = jnp.asarray(z["x"])
         else:
             raise ValueError("graph file has no vector block; pass x_device")
-        return BulkGraph(
+        valid = None
+        if "valid" in z and not bool(z["valid"].all()):
+            valid = jnp.asarray(z["valid"])
+        graph = BulkGraph(
             ids=ids, n=n, m=int(z["m"]), m0=int(z["m0"]), lmax=int(z["lmax"]),
             metric=str(z["metric"]), x=x,
             a0=jnp.asarray(z["a0"]), up_index=jnp.asarray(z["up_index"]),
@@ -226,7 +258,14 @@ def load_graph(path: str, *, x_device=None) -> BulkGraph:
             entry_slot=jnp.int32(int(z["entry_slot"])),
             entry_level=jnp.int32(int(z["entry_level"])),
             levels=np.asarray(z["levels"]),
+            valid=valid,
+            lex_spacing=int(z["lex_spacing"]) if "lex_spacing" in z else 1,
         )
+        if valid is not None:
+            # loaded tombstones: rebuild the mutation bookkeeping so live
+            # counts, compaction pressure, and re-inserts stay correct
+            _ensure_mutable(graph, valid_np=np.asarray(z["valid"]))
+        return graph
 
 
 #: beam entries expanded per construct-search iteration (same widened-beam
@@ -352,7 +391,8 @@ def _greedy_upper(xt, up_adj, up_index, q, g, start, enabled, layer, metric):
     donate_argnums=(2, 3),
 )
 def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_mask,
-               start, *, metric, efc, m, m0, lmax, lmax_wave, beam_steps, hub_cap=0):
+               start, entry_slot, entry_level, *, metric, efc, m, m0, lmax,
+               lmax_wave, beam_steps, hub_cap=0):
     """Inserts one wave: batched construct-search + forward edges + reciprocal
     prune. ``a0`` [n+1, m0] and ``up_adj`` [cap_up+1, max(lmax,1), m] carry a
     trailing trash row. Returns updated (a0, up_adj).
@@ -365,8 +405,6 @@ def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_m
     n = x.shape[0]
     words = (n + 31) // 32
     B = wave_slots.shape[0]
-    entry_slot = jnp.int32(0)
-    entry_level = levels[0]
     trash_up = up_adj.shape[0] - 1
 
     # ---- intra-wave candidate matrix (peers can't be reached via the frozen
@@ -662,6 +700,7 @@ def bulk_build(metric: str, params: dict, ids, vectors=None, *, wave: int | None
         a0, up_adj = _wave_step(
             xd, xt, a0, up_adj, up_index_d, lex_d, levels_d,
             jnp.asarray(slots), jnp.asarray(mask), jnp.int32(start),
+            jnp.int32(0), jnp.int32(int(levels[0]) if n else 0),
             metric=metric, efc=efc, m=m, m0=m0, lmax=lmax, lmax_wave=lmax_wave,
             beam_steps=beam_steps, hub_cap=hub_cap,
         )
@@ -680,3 +719,408 @@ def bulk_build(metric: str, params: dict, ids, vectors=None, *, wave: int | None
         lex_rank=lex_d, entry_slot=jnp.int32(0), entry_level=jnp.int32(levels[0] if n else 0),
         levels=levels,
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental mutation of a bulk-built graph
+# ---------------------------------------------------------------------------
+#
+# The reference mutates its graph one record at a time in O(ef·m) per insert
+# (hnsw.rs:152-289). The TPU equivalent keeps the bulk graph device-resident
+# and appends through the same ``_wave_step`` kernel that built it:
+#
+# * device arrays are padded to a CAPACITY beyond ``n`` so per-put shapes
+#   stay stable — the wave kernel recompiles only when capacity grows;
+# * inserts land in fresh slots and one size-bucketed wave links them
+#   (intra-batch candidates via the wave's peer matrix, reciprocal edges via
+#   the same segment program as the bulk build);
+# * deletes SOFT-delete: the slot's validity bit flips (one device scatter),
+#   the node keeps routing traffic through its edges (graph connectivity is
+#   preserved — the reference instead rewires, hnsw.rs:263-289) but can never
+#   appear in results; compaction rebuilds once tombstones exceed
+#   ``REBUILD_FRACTION`` of the graph;
+# * lexicographic tie-break ranks are SPACED at build migration so new ids
+#   get a rank between their neighbors without renumbering 1M slots; an
+#   exhausted gap (≥~1k inserts between two adjacent ids) triggers a full
+#   respace.
+
+#: static wave sizes for incremental batches (each bucket is one compiled
+#: kernel variant; excess lanes are masked)
+INCR_WAVE_BUCKETS = (256, 2048, 8192)
+
+#: slot-capacity growth granularity (bounds recompiles from capacity changes)
+GROW_CHUNK = 8192
+
+#: rebuild the graph once tombstones exceed this fraction of slots
+REBUILD_FRACTION = 0.25
+
+#: minimum free-slot headroom kept beyond n (tests shrink this to exercise
+#: the growth path cheaply)
+CAP_SLACK_MIN = 4096
+
+
+def _round_up(v: int, to: int) -> int:
+    return ((v + to - 1) // to) * to
+
+
+def _capacity(n: int) -> int:
+    return _round_up(n + max(CAP_SLACK_MIN, n // 8), min(GROW_CHUNK, max(CAP_SLACK_MIN, 8)))
+
+
+class _MutState:
+    """Host bookkeeping for an incrementally-mutated BulkGraph."""
+
+    __slots__ = ("slot_of", "levels_np", "valid_np", "lex_np", "dead",
+                 "sorted_ids", "sorted_ranks", "up_used", "levels_d")
+
+
+def _ensure_mutable(graph: BulkGraph, valid_np=None) -> _MutState:
+    """One-time migration of a frozen bulk graph into mutable form: pads the
+    device arrays to capacity, respaces lex ranks, and builds the host-side
+    slot/rank maps. O(n log n) host work + one device reallocation; every
+    subsequent put/delete is O(batch)."""
+    if graph._mut is not None:
+        return graph._mut
+    n = graph.n
+    cap = _capacity(n)
+    st = _MutState()
+    st.dead = 0
+
+    # ---- lex ranks: respace so ids can insert between neighbors
+    lex_np = np.asarray(graph.lex_rank)[:n].astype(np.int64)
+    if graph.lex_spacing == 1:
+        spacing = max(1, min(1024, (_BIG32 - 2) // max(cap, 1)))
+        lex_np = lex_np * spacing
+        graph.lex_spacing = spacing
+    st.lex_np = np.zeros(cap, np.int64)
+    st.lex_np[:n] = lex_np
+    ids_np = np.asarray(graph.ids, dtype=str)
+    uniq, first = np.unique(ids_np, return_index=True)
+    st.sorted_ids = uniq
+    st.sorted_ranks = lex_np[first]
+
+    # ---- slot map + levels + validity
+    st.valid_np = np.zeros(cap, bool)
+    if valid_np is None:
+        valid_np = (np.ones(n, bool) if graph.valid is None
+                    else np.asarray(graph.valid)[:n])
+    st.valid_np[:n] = valid_np
+    st.dead = int(n - st.valid_np[:n].sum())
+    st.slot_of = {
+        id: slot for slot, id in enumerate(graph.ids) if st.valid_np[slot]
+    }
+    st.levels_np = np.zeros(cap, np.int32)
+    st.levels_np[:n] = np.asarray(graph.levels)[:n]
+    st.up_used = int((np.asarray(graph.up_index)[:n] >= 0).sum())
+
+    # ---- device capacity padding
+    d = graph.x.shape[1]
+    pad = cap - graph.x.shape[0]
+    if pad > 0:
+        graph.x = jnp.concatenate([graph.x, jnp.zeros((pad, d), graph.x.dtype)])
+        if graph._xb is not None:
+            graph._xb = jnp.concatenate(
+                [graph._xb, jnp.zeros((pad, d), graph._xb.dtype)])
+    a0_rows = cap + 1 - graph.a0.shape[0]  # +1 trash row for _wave_step
+    if a0_rows > 0:
+        graph.a0 = jnp.concatenate(
+            [graph.a0, jnp.full((a0_rows, graph.m0), -1, jnp.int32)])
+    up_cap = st.up_used + max(256, st.up_used // 8) + 1
+    up_rows = up_cap - graph.up_adj.shape[0]
+    if up_rows > 0:
+        graph.up_adj = jnp.concatenate([
+            graph.up_adj,
+            jnp.full((up_rows,) + graph.up_adj.shape[1:], -1, jnp.int32),
+        ])
+    idx_pad = cap - graph.up_index.shape[0]
+    if idx_pad > 0:
+        graph.up_index = jnp.concatenate(
+            [graph.up_index, jnp.full(idx_pad, -1, jnp.int32)])
+    graph.lex_rank = jnp.asarray(st.lex_np.astype(np.int32))
+    st.levels_d = jnp.asarray(st.levels_np)
+    if graph.valid is not None or st.dead:
+        graph.valid = jnp.asarray(st.valid_np)
+    graph.levels = st.levels_np
+    graph._hubs = {}
+    graph._mut = st
+    return st
+
+
+def _grow_slots(graph: BulkGraph, st: _MutState, need: int) -> None:
+    """Grows slot capacity to hold ``need`` slots (device realloc; the wave
+    and search kernels recompile once per growth)."""
+    cap = _capacity(need)
+    pad = cap - graph.x.shape[0]
+    if pad <= 0:
+        return
+    d = graph.x.shape[1]
+    graph.x = jnp.concatenate([graph.x, jnp.zeros((pad, d), graph.x.dtype)])
+    if graph._xb is not None:
+        graph._xb = jnp.concatenate(
+            [graph._xb, jnp.zeros((pad, d), graph._xb.dtype)])
+    graph.a0 = jnp.concatenate(
+        [graph.a0, jnp.full((pad, graph.m0), -1, jnp.int32)])
+    graph.up_index = jnp.concatenate(
+        [graph.up_index, jnp.full(pad, -1, jnp.int32)])
+    graph.lex_rank = jnp.concatenate(
+        [graph.lex_rank, jnp.zeros(pad, jnp.int32)])
+    st.levels_d = jnp.concatenate([st.levels_d, jnp.zeros(pad, jnp.int32)])
+    if graph.valid is not None:
+        graph.valid = jnp.concatenate([graph.valid, jnp.zeros(pad, bool)])
+    st.lex_np = np.concatenate([st.lex_np, np.zeros(pad, np.int64)])
+    st.levels_np = np.concatenate([st.levels_np, np.zeros(pad, np.int32)])
+    st.valid_np = np.concatenate([st.valid_np, np.zeros(pad, bool)])
+    graph.levels = st.levels_np
+
+
+def _grow_upper(graph: BulkGraph, st: _MutState, need: int) -> None:
+    up_cap = need + max(256, need // 8) + 1
+    pad = up_cap - graph.up_adj.shape[0]
+    if pad > 0:
+        graph.up_adj = jnp.concatenate([
+            graph.up_adj,
+            jnp.full((pad,) + graph.up_adj.shape[1:], -1, jnp.int32),
+        ])
+
+
+def _grow_layers(graph: BulkGraph, new_lmax: int) -> None:
+    add = new_lmax - graph.up_adj.shape[1]
+    if add > 0:
+        graph.up_adj = jnp.concatenate([
+            graph.up_adj,
+            jnp.full((graph.up_adj.shape[0], add, graph.m), -1, jnp.int32),
+        ], axis=1)
+    graph.lmax = max(graph.lmax, new_lmax)
+
+
+def _assign_lex(st: _MutState, graph: BulkGraph, ids: list) -> np.ndarray:
+    """Ranks for a batch of ids: existing ids (replaces/re-inserts) reuse
+    their rank; new ids get evenly-spaced ranks inside their lex gap (full
+    respace when a gap is exhausted). Returns np.int64 [B]."""
+    ids_np = np.array(ids, dtype=str)
+    out = np.zeros(len(ids), np.int64)
+    ns = len(st.sorted_ids)
+    pos = np.searchsorted(st.sorted_ids, ids_np)
+    if ns:
+        exists = (pos < ns) & (st.sorted_ids[np.minimum(pos, ns - 1)] == ids_np)
+        out[exists] = st.sorted_ranks[pos[exists]]
+    else:
+        exists = np.zeros(len(ids), bool)
+    fresh = np.flatnonzero(~exists)
+    if not len(fresh):
+        return out
+
+    order = fresh[np.argsort(ids_np[fresh], kind="stable")]
+    gap_pos = pos[order]
+    insert_ids = ids_np[order]
+    new_ranks = np.zeros(len(order), np.int64)
+    i = 0
+    need_respace = False
+    while i < len(order):
+        j = i
+        while j < len(order) and gap_pos[j] == gap_pos[i]:
+            j += 1
+        k = j - i  # ids landing in this gap
+        left = st.sorted_ranks[gap_pos[i] - 1] if gap_pos[i] > 0 else -(
+            graph.lex_spacing * (k + 1))
+        right = st.sorted_ranks[gap_pos[i]] if gap_pos[i] < ns else (
+            left + graph.lex_spacing * (k + 1))
+        if right - left <= k:
+            need_respace = True
+            break
+        step = (right - left) / (k + 1)
+        new_ranks[i:j] = left + (np.arange(1, k + 1) * step).astype(np.int64)
+        i = j
+    if insert_ids.dtype.itemsize > st.sorted_ids.dtype.itemsize:
+        # widen first: np.insert silently TRUNCATES longer strings to the
+        # target array's fixed width
+        st.sorted_ids = st.sorted_ids.astype(insert_ids.dtype)
+    st.sorted_ids = np.insert(st.sorted_ids, gap_pos, insert_ids)
+    st.sorted_ranks = np.insert(st.sorted_ranks, gap_pos, new_ranks)
+    if need_respace:
+        spacing = max(1, min(1024, (_BIG32 - 2) // max(
+            graph.x.shape[0], len(st.sorted_ids))))
+        graph.lex_spacing = spacing
+        st.sorted_ranks = np.arange(len(st.sorted_ids), dtype=np.int64) * spacing
+        _respace_slots(st, graph)
+    rank_of = dict(zip(insert_ids.tolist(),
+                       st.sorted_ranks[np.searchsorted(
+                           st.sorted_ids, insert_ids)].tolist()))
+    for idx in fresh:
+        out[idx] = rank_of[ids_np[idx]]
+    if need_respace:
+        # existing ids' ranks moved too — refresh the whole batch
+        allpos = np.searchsorted(st.sorted_ids, ids_np)
+        out = st.sorted_ranks[allpos]
+    return out
+
+
+def _respace_slots(st: _MutState, graph: BulkGraph) -> None:
+    rank_of = dict(zip(st.sorted_ids.tolist(), st.sorted_ranks.tolist()))
+    for id, slot in st.slot_of.items():
+        st.lex_np[slot] = rank_of[id]
+    graph.lex_rank = jnp.asarray(st.lex_np.astype(np.int32))
+
+
+def _tombstone(graph: BulkGraph, st: _MutState, ids: list) -> int:
+    slots = [st.slot_of.pop(i) for i in ids if i in st.slot_of]
+    if not slots:
+        return 0
+    sl = np.asarray(slots, np.int32)
+    st.valid_np[sl] = False
+    st.dead += len(slots)
+    if graph.valid is None:
+        graph.valid = jnp.asarray(st.valid_np)
+    else:
+        graph.valid = graph.valid.at[jnp.asarray(sl)].set(False)
+    graph._hubs = {}
+    if not st.valid_np[int(graph.entry_slot)]:
+        _reelect_entry(graph, st)
+    return len(slots)
+
+
+def _reelect_entry(graph: BulkGraph, st: _MutState) -> None:
+    """Deterministic entry re-election: (level desc, id asc) — the soft-
+    deleted old entry keeps routing but no longer anchors descent
+    (hnsw.rs:263-289 semantics on the live set)."""
+    live = st.valid_np[: graph.n]
+    if not live.any():
+        return
+    lv = np.where(live, st.levels_np[: graph.n], -1)
+    top = int(lv.max())
+    cands = np.flatnonzero(lv == top)
+    best = int(cands[np.argmin(st.lex_np[cands])])
+    graph.entry_slot = jnp.int32(best)
+    graph.entry_level = jnp.int32(top)
+
+
+def incremental_put(graph: BulkGraph, params: dict, ids: list,
+                    vecs: np.ndarray) -> None:
+    """Inserts/replaces a batch into a bulk-built graph without host
+    hydration. Replace semantics match the reference (existing id → delete
+    then insert, hnsw.rs:152-160): the old slot tombstones and the new vector
+    takes a fresh slot. Device work is one size-bucketed wave per 8k records;
+    host work is O(B log n)."""
+    st = _ensure_mutable(graph)
+    last = {}
+    for i, id in enumerate(ids):
+        last[id] = i
+    keep = sorted(last.values())
+    ids = [ids[i] for i in keep]
+    vecs = vecs[keep]
+    _tombstone(graph, st, [i for i in ids if i in st.slot_of])
+
+    B = len(ids)
+    if not B:
+        return
+    from .. import native
+
+    max_level = params["max_level"]
+    levels = native.levels_batch(ids, max_level)
+    if levels is None:
+        levels = np.array([level_for(i, max_level) for i in ids], np.int32)
+    levels = np.asarray(levels, np.int32)
+
+    if graph.n + B > graph.x.shape[0]:
+        _grow_slots(graph, st, graph.n + B)
+    batch_lmax = int(levels.max())
+    if batch_lmax > graph.up_adj.shape[1]:
+        _grow_layers(graph, batch_lmax)
+    graph.lmax = max(graph.lmax, batch_lmax)
+    n_upper = int((levels >= 1).sum())
+    if st.up_used + n_upper + 1 > graph.up_adj.shape[0]:
+        _grow_upper(graph, st, st.up_used + n_upper)
+
+    slots = np.arange(graph.n, graph.n + B, dtype=np.int32)
+    ranks = _assign_lex(st, graph, ids)
+    up_rows = np.full(B, -1, np.int32)
+    upb = np.flatnonzero(levels >= 1)
+    up_rows[upb] = st.up_used + np.arange(len(upb), dtype=np.int32)
+    st.up_used += len(upb)
+
+    for i, id in enumerate(ids):
+        st.slot_of[id] = int(slots[i])
+    graph.ids.extend(ids)
+    st.levels_np[slots] = levels
+    st.valid_np[slots] = True
+    st.lex_np[slots] = ranks
+
+    sl = jnp.asarray(slots)
+    xin = jnp.asarray(np.ascontiguousarray(vecs, dtype=np.float32))
+    graph.x = graph.x.at[sl].set(xin)
+    if graph._xb is not None:
+        graph._xb = graph._xb.at[sl].set(xin.astype(jnp.bfloat16))
+    graph.lex_rank = graph.lex_rank.at[sl].set(
+        jnp.asarray(ranks.astype(np.int32)))
+    graph.up_index = graph.up_index.at[sl].set(jnp.asarray(up_rows))
+    st.levels_d = st.levels_d.at[sl].set(jnp.asarray(levels))
+    if graph.valid is not None:
+        graph.valid = graph.valid.at[sl].set(True)
+
+    # ---- link the new slots through the build kernel
+    from .hnsw_device import hub_count
+
+    efc = params["ef_construction"]
+    beam_steps = build_step_bound(efc)
+    hub_cap = hub_count(graph.x.shape[0])
+    xt = graph.xb
+    off = 0
+    while off < B:
+        size = min(B - off, INCR_WAVE_BUCKETS[-1])
+        bucket = next(b for b in INCR_WAVE_BUCKETS if b >= size)
+        wave_slots = np.zeros(bucket, np.int32)
+        wave_slots[:size] = slots[off : off + size]
+        mask = np.zeros(bucket, bool)
+        mask[:size] = True
+        lmax_wave = int(levels[off : off + size].max())
+        if lmax_wave > 2:  # bucket compiled variants like bulk_build
+            b2 = 4
+            while b2 < lmax_wave:
+                b2 <<= 1
+            lmax_wave = min(b2, graph.lmax)
+        graph.a0, graph.up_adj = _wave_step(
+            graph.x, xt, graph.a0, graph.up_adj, graph.up_index,
+            graph.lex_rank, st.levels_d,
+            jnp.asarray(wave_slots), jnp.asarray(mask),
+            jnp.int32(graph.n + off), graph.entry_slot, graph.entry_level,
+            metric=graph.metric, efc=efc, m=graph.m, m0=graph.m0,
+            lmax=graph.lmax, lmax_wave=lmax_wave, beam_steps=beam_steps,
+            hub_cap=hub_cap,
+        )
+        off += size
+    graph.n += B
+    graph.levels = st.levels_np
+
+    bi = int(np.argmax(levels))
+    if int(levels[bi]) > int(graph.entry_level):
+        graph.entry_slot = jnp.int32(int(slots[bi]))
+        graph.entry_level = jnp.int32(int(levels[bi]))
+    graph._hubs = {}
+
+
+def incremental_delete(graph: BulkGraph, ids: list) -> int:
+    """Tombstones ids (device validity-bit flips); returns the number
+    removed. The slots keep routing beam traffic (soft delete) but are
+    masked out of every result set."""
+    st = _ensure_mutable(graph)
+    return _tombstone(graph, st, [str(i) for i in ids])
+
+
+def should_compact(graph: BulkGraph) -> bool:
+    st = graph._mut
+    if st is None or not st.dead:
+        return False
+    return st.dead > max(64, REBUILD_FRACTION * graph.n)
+
+
+def compact(graph: BulkGraph, params: dict):
+    """Rebuilds the graph from its live slots (device-resident gather, no
+    host round-trip). Returns the fresh BulkGraph, or None when no live
+    records remain."""
+    st = _ensure_mutable(graph)
+    live_slots = np.flatnonzero(st.valid_np[: graph.n])
+    if not len(live_slots):
+        return None
+    ids_live = [graph.ids[s] for s in live_slots]
+    x_live = graph.x[jnp.asarray(live_slots.astype(np.int32))]
+    return bulk_build(graph.metric, params, ids_live, x_device=x_live)

@@ -132,6 +132,7 @@ class DeviceGraph:
         self.lex_rank = jnp.asarray(lex_rank)
         self.entry_slot = jnp.int32(slot_of[host._entry])
         self.entry_level = jnp.int32(levels[slot_of[host._entry]])
+        self.valid = None  # host snapshots carry no tombstones
         # hubs: top-H slots by (level desc, slot) — the batched stand-in for
         # the upper hierarchy
         h = hub_count(n)
@@ -159,14 +160,16 @@ class DeviceGraph:
 
 def _search_impl(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, queries,
                  *, metric, lmax, ef, limit, max_steps, xb=None, expand_w=None,
-                 hub_slots=None, hub_x=None, hub_valid=None):
+                 hub_slots=None, hub_x=None, hub_valid=None, valid=None):
     """Traceable core of the batched beam search (also reused per-shard
     inside ``parallel.hnsw_mesh``'s shard_map). ``xb`` is the optional bf16
     traversal block (defaults to ``x``: full-f32 parity mode). When
     ``hub_slots``/``hub_x`` are given the beam seeds from a dense hub scan
     instead of the greedy upper-layer descent; ``hub_valid`` masks hub rows
     that are padding (sharded blocks pad with zero vectors, which would
-    otherwise score finitely and displace real seeds)."""
+    otherwise score finitely and displace real seeds). ``valid`` (bool [n])
+    masks tombstoned slots out of RESULTS only — soft-deleted nodes keep
+    routing beam traffic so incremental deletes never sever the graph."""
     n = x.shape[0]
     m0 = a0.shape[1]
     words = (n + 31) // 32
@@ -300,6 +303,9 @@ def _search_impl(x, a0, up_index, up_adj, lex_rank, entry_slot, entry_level, que
         # (dist, external_id) sort — so bf16 traversal never affects ranking
         ok = beam_id >= 0
         safe = jnp.maximum(beam_id, 0)
+        if valid is not None:
+            ok = ok & valid[safe]
+            beam_id = jnp.where(ok, beam_id, -1)
         rank32 = jnp.where(ok, _rank_rows(x[safe], q, metric), jnp.inf)
         lex = jnp.where(ok, lex_rank[safe], 2**31 - 1)
         rank32, _, beam_id = jax.lax.sort((rank32, lex, beam_id), num_keys=2)
@@ -327,7 +333,7 @@ def search(host, queries: np.ndarray, limit: int) -> list:
     """Batched device search over a host HNSW graph; returns per-query
     ``[(external_id, raw)]`` hit lists."""
     if host._device is None or host._device_version != host._version:
-        host._device = DeviceGraph(host)
+        host._device = host._bulk if host._bulk is not None else DeviceGraph(host)
         host._device_version = host._version
     graph = host._device
     ef = max(host.params["ef_search"], limit)
@@ -336,6 +342,8 @@ def search(host, queries: np.ndarray, limit: int) -> list:
     traversal = getattr(host, "traversal", "bf16")
     xb = graph.xb if traversal == "bf16" else None
     hub_slots, hub_x = graph.hubs(jnp.bfloat16 if traversal == "bf16" else jnp.float32)
+    valid = getattr(graph, "valid", None)
+    hub_valid = graph.hub_validity() if valid is not None else None
     max_steps = step_bound(ef)
 
     out = []
@@ -356,6 +364,7 @@ def search(host, queries: np.ndarray, limit: int) -> list:
                 graph.entry_slot, graph.entry_level, jnp.asarray(chunk),
                 metric=graph.metric, lmax=graph.lmax, ef=ef, limit=k,
                 max_steps=max_steps, xb=xb, hub_slots=hub_slots, hub_x=hub_x,
+                hub_valid=hub_valid, valid=valid,
             )
         )
         ids, raws = ids[:real], raws[:real]
