@@ -6,6 +6,7 @@ store↔index atomicity (rollback on index failure, index restore on store
 delete failure), concurrent writers vs readers, and numerical adversaries.
 """
 
+import os
 import threading
 
 import numpy as np
@@ -223,3 +224,61 @@ class TestScriptedSnapshotCorruption:
         store.snapshot(path)
         with pytest.raises(errors.InvalidSnapshotRecord):
             vt.load_snapshot(path)
+
+
+class TestProcessDeath:
+    """The reference's supervision story means a collection must survive its
+    creator dying (vector_hardening_test.exs:130-145). The TPU build has no
+    process model — the analog is the snapshot/restore invariant: a snapshot
+    taken before a hard process death restores completely, and a death
+    MID-snapshot never corrupts an existing snapshot (tmp+rename atomicity,
+    store/ets.ex:29-45 semantics)."""
+
+    SCRIPT = r"""
+import os, sys
+import numpy as np
+import vettore_tpu as vt
+
+path = sys.argv[1]
+mode = sys.argv[2]
+col = vt.Collection(name="crash", dimensions=8, metric="cosine", index="flat")
+rng = np.random.default_rng(5)
+data = rng.normal(size=(64, 8)).astype(np.float32)
+col.put_many([{"id": f"r-{i:03d}", "vector": list(v)} for i, v in enumerate(data)])
+col.snapshot(path)
+if mode == "die_after_more_writes":
+    col.put_many([{"id": f"lost-{i}", "vector": list(data[i])} for i in range(4)])
+os._exit(9)  # hard death: no atexit, no flush
+"""
+
+    def _run_child(self, path, mode):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "-c", self.SCRIPT, str(path), mode],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert proc.returncode == 9, proc.stderr
+
+    def test_snapshot_survives_creator_death(self, tmp_path):
+        path = str(tmp_path / "crash.snap")
+        self._run_child(path, "die_after_more_writes")
+        col = vt.load_snapshot(path)
+        assert col.count() == 64  # saved state complete; unsaved writes lost
+        assert col.get("r-042") is not None
+        with pytest.raises(errors.NotFound):
+            col.get("lost-0")
+        hits = col.search(list(np.asarray(col.get("r-007").vector)), limit=1)
+        assert hits[0].id == "r-007"  # index rebuilt from canonical rows
+
+    def test_death_mid_snapshot_preserves_previous(self, tmp_path):
+        path = tmp_path / "stable.snap"
+        self._run_child(str(path), "plain")
+        good = path.read_bytes()
+        # a later writer dying mid-write leaves only tmp litter, never a
+        # truncated target: simulate the in-flight tmp file a death leaves
+        (tmp_path / "stable.snap.tmpdead").write_bytes(good[: len(good) // 2])
+        col = vt.load_snapshot(str(path))
+        assert col.count() == 64

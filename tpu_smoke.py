@@ -15,7 +15,6 @@ Exit code 0 = green.
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")

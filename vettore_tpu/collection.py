@@ -540,8 +540,32 @@ class Collection:
             close()
 
     def stats(self) -> dict:
-        """Snapshot of per-operation counters and latency aggregates."""
+        """Snapshot of per-operation counters and latency aggregates.
+
+        Search-mode timings are barrier-honest (those APIs device_get their
+        results before returning). Ingest timings measure ENQUEUE time —
+        device uploads/builds complete asynchronously; bracket with
+        :meth:`sync` when honest end-to-end ingest latency matters
+        (``jax.block_until_ready`` is a no-op on some tunnel runtimes; the
+        only reliable barrier is fetching a value, see ops/transport)."""
         return self._stats.snapshot()
+
+    @observed("sync")
+    def sync(self) -> None:
+        """Fetch-barrier on the index's device state: returns only after
+        every enqueued device mutation (uploads, graph waves) has executed."""
+        from .ops.transport import fetch_barrier
+
+        index = self._index
+        graph = getattr(index, "_bulk", None)
+        if graph is not None and getattr(graph, "a0", None) is not None:
+            fetch_barrier(graph.a0)
+        dev = getattr(index, "_device", None)
+        if isinstance(dev, tuple) and dev:
+            fetch_barrier(dev[0])
+        cache = self._cache
+        if cache is not None and cache._x is not None:
+            fetch_barrier(cache._x[0])
 
     @property
     def store(self) -> Store:

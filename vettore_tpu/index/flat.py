@@ -26,7 +26,6 @@ from ..errors import (
     DimensionMismatch,
     InvalidFlatOptions,
     InvalidVector,
-    MetricOverflow,
     UnsupportedFlatMetric,
 )
 from ..metrics import METRICS, normalize_metric, rank_value

@@ -22,8 +22,6 @@ resource, so bulk uploads get two optimizations:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,14 +24,45 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..errors import UnsupportedHnswMetric
+from ..errors import MetricOverflow, UnsupportedHnswMetric
 from ..index.base import Index
 from ..index.flat import FlatIndex
 from ..index.hnsw import HNSW_METRICS, validate_options
 from ..metrics import normalize_metric, rank_value
-from ..ops import scan_host
 from .hnsw_mesh import ShardedHnsw
 from .mesh import ShardedFlat
+
+
+def _tail_scores(metric: str, rows: np.ndarray, queries: np.ndarray):
+    """Batched f64 scores of the pending tail vs a query batch, rounded to
+    f32 like the per-pair host oracle (scan_host.vector_top_k) so merge
+    ordering is bit-stable against it. Returns (raw [B, T], rank [B, T])."""
+    q = queries.astype(np.float64)
+    v = rows.astype(np.float64)
+    dots = q @ v.T
+    if metric == "l2":
+        qq = np.einsum("bd,bd->b", q, q)
+        vv = np.einsum("td,td->t", v, v)
+        raw = np.sqrt(np.maximum(qq[:, None] + vv[None, :] - 2.0 * dots, 0.0))
+    elif metric == "cosine":
+        nq = np.sqrt(np.einsum("bd,bd->b", q, q))
+        nv = np.sqrt(np.einsum("td,td->t", v, v))
+        denom = nq[:, None] * nv[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            raw = np.where(denom > 0.0, dots / np.maximum(denom, 1e-300), 0.0)
+        raw = np.clip(raw, -1.0, 1.0)
+    else:  # inner_product
+        raw = dots
+    raw = raw.astype(np.float32).astype(np.float64)
+    if not np.isfinite(raw).all():
+        raise MetricOverflow("f32 overflow in pending-tail scan")
+    if metric == "l2":
+        rank = raw
+    elif metric == "cosine":
+        rank = 1.0 - raw
+    else:
+        rank = -raw
+    return raw, rank
 
 
 class MeshFlatIndex(Index):
@@ -190,23 +221,31 @@ class MeshHnswIndex(Index):
             self._sharded.search_batch(queries, k_graph) if k_graph else
             [[] for _ in range(len(queries))]
         )
-        pending_rows = self._rows_for(pending) if pending else None
-        pending_pairs = (
-            [(id, pending_rows[i]) for i, id in enumerate(pending)] if pending else []
-        )
-        dims = self._host.dimension
+        # pending tail: ONE vectorized [B, T] scan (BLAS), then per query the
+        # exact (rank, id) order over the tied top-k candidate set — replaces
+        # the per-query host oracle loop that was O(B·T) Python at scale
+        tail_ids = tail_raw = tail_rank = None
+        if pending:
+            tail_ids = np.array(pending, dtype=str)
+            tail_raw, tail_rank = _tail_scores(
+                self.metric, self._rows_for(pending), queries)
+            k = min(limit, len(pending))
+            kth = np.partition(tail_rank, k - 1, axis=1)[:, k - 1]
         out = []
-        for qi, q in enumerate(queries):
+        for qi in range(len(queries)):
             merged = [
                 (rank_value(self.metric, raw), id, raw)
                 for id, raw in graph_hits[qi]
                 if id in live_set and id not in self._stale
             ]
-            if pending_pairs:
-                for id, raw in scan_host.vector_top_k(
-                    pending_pairs, q, self.metric, dims, limit
-                ):
-                    merged.append((rank_value(self.metric, raw), id, raw))
+            if pending:
+                sel = np.flatnonzero(tail_rank[qi] <= kth[qi])  # ties kept
+                order = np.lexsort((tail_ids[sel], tail_rank[qi][sel]))
+                for j in sel[order][:limit]:
+                    merged.append(
+                        (float(tail_rank[qi][j]), str(tail_ids[j]),
+                         float(tail_raw[qi][j]))
+                    )
             merged.sort(key=lambda h: (h[0], h[1]))
             out.append([(id, raw) for _, id, raw in merged[:limit]])
         return out
