@@ -1,0 +1,38 @@
+# CI-grade gates (reference discipline: fmt/credo/dialyzer + coverage gates +
+# benchmark preflight, /root/reference/.github/workflows/ci.yml:54-94,127-142).
+# `make check` is the one red/green command.
+
+PY ?= python
+COV_MIN ?= 90
+
+.PHONY: check lint test test-fast cov smoke native clean
+
+check: lint cov smoke
+	@echo "make check: ALL GATES GREEN"
+
+lint:
+	$(PY) tools/lint.py
+
+# full suite on the virtual 8-device CPU mesh (tests/conftest.py forces it)
+test:
+	$(PY) -m pytest tests/ -q -n auto
+
+# fast loop: skip the multi-minute mesh suites
+test-fast:
+	$(PY) -m pytest tests/ -q -n auto -m "not slow"
+
+# full suite + first-party line-coverage gate (tools/cov_plugin.py)
+cov:
+	VETTORE_COV_MIN=$(COV_MIN) $(PY) -m pytest tests/ -q -n auto -p tools.cov_plugin
+
+# benchmark preflight: every search mode at toy scale, like the reference's
+# CI bench gate (ci.yml:67-76). Runs on whatever backend is present.
+smoke:
+	VETTORE_BENCH_BUDGET_S=600 $(PY) bench.py --smoke
+
+native:
+	$(PY) -c "from vettore_tpu import native; assert native.available(), 'native build failed'; print('native host ops: built')"
+
+clean:
+	rm -rf .covdata .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +

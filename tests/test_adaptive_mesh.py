@@ -10,9 +10,10 @@ import pytest
 import vettore_tpu as vt
 from vettore_tpu.parallel import make_mesh
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # multi-minute: 8-device shard_map compiles
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices"),
+]
 
 DIMS = 24
 N_DOCS = 110

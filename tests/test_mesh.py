@@ -9,9 +9,10 @@ import pytest
 from vettore_tpu.index.flat import FlatIndex
 from vettore_tpu.parallel import ShardedFlat, make_mesh
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # multi-minute: 8-device shard_map compiles
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices"),
+]
 
 
 def corpus(n=100, d=16, seed=3):
