@@ -323,6 +323,12 @@ def prime_main(n, d):
 
     # multi-vector corpus + graph caches (config 5; small next to the 1M block)
     mv_caches(n)
+
+    # CPU single-core baseline (the vs_baseline denominator): ~8 min uncached
+    # at 1M x 768 (3 GB tmp round-trip + single-core scans) — pay it here so
+    # the timed run never spends budget on it
+    _phase("prime: cpu single-core baseline")
+    cpu_single_core_qps_cached(data, make_queries(data, 8), n, d)
     STATE.update({"metric": "prime_cache", "value": 1.0, "unit": "ok"})
     emit(final=True)
 
@@ -486,13 +492,21 @@ def main():
             "value": round(hnsw_qps, 1),
         })
 
-    # ---- CPU single-core baseline (the vs_baseline denominator) — cached,
-    # and BEFORE the adaptive modes so vs_baseline survives an alarm there
+    # ---- CPU single-core baseline (the vs_baseline denominator) — cached
+    # (prime builds it), and BEFORE the adaptive modes so vs_baseline
+    # survives an alarm there. Uncached it costs ~8 min at 1M, so a cold run
+    # only computes it when the remaining budget still covers the adaptive
+    # modes afterwards.
     _phase("cpu baseline")
     try:
-        baseline_qps = cpu_single_core_qps_cached(data, queries, n, d)
-        detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
-        STATE["vs_baseline"] = round(STATE["value"] / baseline_qps, 2)
+        if os.path.exists(
+            _cache_path(f"cpu_baseline_{n}x{d}_s{SEED}.json")
+        ) or left() > 900:
+            baseline_qps = cpu_single_core_qps_cached(data, queries, n, d)
+            detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
+            STATE["vs_baseline"] = round(STATE["value"] / baseline_qps, 2)
+        else:
+            detail["skipped"].append("cpu_baseline_budget")
     except Exception as exc:
         detail["skipped"].append(f"cpu_baseline_error:{type(exc).__name__}")
 

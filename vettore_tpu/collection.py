@@ -783,13 +783,18 @@ class Collection:
         million-row path (vectorized validate / normalize / sign-pack; no
         per-record Python). Per-record ``binary_vector`` is stored as a
         uint64 ndarray row (accepted everywhere a word list is)."""
-        matrix = np.ascontiguousarray(matrix, dtype=np.float64)
+        matrix = np.asarray(matrix)
+        if matrix.dtype.kind not in "iuf":
+            matrix = matrix.astype(np.float64)  # rejects non-numeric input
         if matrix.ndim != 2:
             raise E.InvalidVector("matrix must be [n, d]")
         if matrix.shape[1] != self.dimensions:
             raise E.DimensionMismatch("dimension mismatch")
         if len(ids) != matrix.shape[0]:
             raise E.InvalidVector("ids and matrix row count differ")
+        # validity is dtype-independent: check the input in place instead of
+        # materializing a full-matrix f64 copy first (normalize_rows does its
+        # f64 math in bounded row chunks)
         if not np.isfinite(matrix).all() or (np.abs(matrix) > F32_MAX).any():
             raise E.InvalidVector("vector contains a non-finite value")
         ids = [str(i) for i in ids]
@@ -816,7 +821,7 @@ class Collection:
                 if callable(index_bulk) and not any(
                     i in getattr(self._index, "_slot_of", {}) for i in ids
                 ):
-                    index_bulk(ids, normalized.astype(np.float32))
+                    index_bulk(ids, normalized.astype(np.float32, copy=False))
                 else:
                     self._index.put_many([(e.id, e.vector) for e in prepared])
             except Exception:

@@ -240,28 +240,42 @@ def normalize_vector(vector, method: str) -> list:
     return [float(x) for x in out.astype(np.float32)]
 
 
+#: rows processed per normalization chunk — bounds the transient f64
+#: working set of million-row ingests to ~512 MB instead of 3 full-matrix
+#: f64 temporaries (the round-2 bench spent ~40% of 1M ingest on them)
+_NORM_CHUNK_ELEMS = 1 << 26
+
+
 def normalize_rows(matrix: np.ndarray, method: str) -> np.ndarray:
     """Row-wise vectorized normalization with the same semantics as
     :func:`normalize_vector` (float64 math, float32 output). Used by the
-    collection insert pipeline for batch ingest."""
+    collection insert pipeline for batch ingest. Processes row chunks so the
+    f64 intermediates never materialize at full-matrix size; every reduction
+    is row-local, so chunking cannot change a single output bit."""
     if method not in NORMALIZATIONS:
         raise UnknownNormalization(method)
-    m = np.asarray(matrix, dtype=np.float64)
+    m = np.asarray(matrix)
     if method == "none" or m.size == 0:
-        return m.astype(np.float32)
-    if method == "l2":
-        norms = np.sqrt(np.sum(m * m, axis=1, keepdims=True))
-        out = np.divide(m, norms, out=np.zeros_like(m), where=norms != 0.0)
-    elif method == "zscore":
-        mean = np.mean(m, axis=1, keepdims=True)
-        std = np.sqrt(np.mean((m - mean) ** 2, axis=1, keepdims=True))
-        out = np.divide(m - mean, std, out=np.zeros_like(m), where=std != 0.0)
-    else:  # minmax
-        lo = np.min(m, axis=1, keepdims=True)
-        hi = np.max(m, axis=1, keepdims=True)
-        span = hi - lo
-        out = np.divide(m - lo, span, out=np.zeros_like(m), where=span != 0.0)
-    return out.astype(np.float32)
+        return np.ascontiguousarray(m, dtype=np.float32)
+    n, d = m.shape
+    out = np.empty((n, d), dtype=np.float32)
+    step = max(1, _NORM_CHUNK_ELEMS // max(d, 1))
+    for s in range(0, n, step):
+        c = np.asarray(m[s : s + step], dtype=np.float64)
+        if method == "l2":
+            key = np.sqrt(np.sum(c * c, axis=1, keepdims=True))
+            r = c / np.where(key == 0.0, 1.0, key)
+        elif method == "zscore":
+            mean = np.mean(c, axis=1, keepdims=True)
+            key = np.sqrt(np.mean((c - mean) ** 2, axis=1, keepdims=True))
+            r = (c - mean) / np.where(key == 0.0, 1.0, key)
+        else:  # minmax
+            lo = np.min(c, axis=1, keepdims=True)
+            key = np.max(c, axis=1, keepdims=True) - lo
+            r = (c - lo) / np.where(key == 0.0, 1.0, key)
+        r[key[:, 0] == 0.0] = 0.0
+        out[s : s + step] = r
+    return out
 
 
 # ---------------------------------------------------------------------------
