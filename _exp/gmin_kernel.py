@@ -21,16 +21,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GROUP = 64
+GROUP = int(os.environ.get("EXP_GROUP", "64"))
 GROUP_SLACK = 8
 TIE_PAD = 16
 _BIG32 = 2**31 - 1
 
 
-def _gmin_body(x_ref, xsq_ref, bias_ref, q_ref, qsq_ref, gmin_ref, flag_ref,
+def _gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref, gmin_ref, flag_ref,
                *, metric, fast):
     dots = jnp.dot(
-        x_ref[:], q_ref[:].T,
+        x_ref[:], qt_ref[:],
         preferred_element_type=jnp.float32,
         precision=None if fast else jax.lax.Precision.HIGHEST,
     )  # [T, B]
@@ -54,7 +54,7 @@ def gmin_scan(x, xsq, bias, q, *, metric, row_tile):
     b = q.shape[0]
     fast = x.dtype == jnp.bfloat16
     qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)[None, :]  # [1, B]
-    qd = q.astype(jnp.bfloat16) if fast else q
+    qt = (q.astype(jnp.bfloat16) if fast else q).T  # [d, B]: one transpose
     tiles = n // row_tile
     kernel = functools.partial(_gmin_body, metric=metric, fast=fast)
     gmin, flags = pl.pallas_call(
@@ -64,7 +64,7 @@ def gmin_scan(x, xsq, bias, q, *, metric, row_tile):
             pl.BlockSpec((row_tile, d), lambda i: (i, 0)),
             pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, b), lambda i: (0, 0)),
             pl.BlockSpec((1, b), lambda i: (0, 0)),
         ],
         out_specs=[
@@ -81,7 +81,7 @@ def gmin_scan(x, xsq, bias, q, *, metric, row_tile):
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qd, qsq)
+    )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qt, qsq)
     return gmin.T, jnp.sum(flags) == 0  # [B, NG], scalar ok
 
 
@@ -89,11 +89,11 @@ def _rescore_body(gidx_ref, x_ref, xsq_ref, bias_ref, q_ref, out_ref,
                   *, metric, fast):
     b = pl.program_id(0)
     qm = q_ref[pl.ds(b, 1), :]  # [1, d]
-    dots = jax.lax.dot_general(
-        x_ref[:], qm, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=None if fast else jax.lax.Precision.HIGHEST,
-    )  # [GROUP, 1]
+    # mul-reduce matvec: Mosaic's dot_general matvec path miscompiles mixed
+    # dtypes; 64 x d MACs per step are VPU noise anyway
+    dots = jnp.sum(
+        x_ref[:].astype(jnp.float32) * qm.astype(jnp.float32),
+        axis=1, keepdims=True)  # [GROUP, 1]
     if metric in ("cosine", "inner_product", "negative_inner_product"):
         rank = dots * -1.0
     else:
@@ -101,7 +101,8 @@ def _rescore_body(gidx_ref, x_ref, xsq_ref, bias_ref, q_ref, out_ref,
         rank = xsq_ref[:] - 2.0 * dots + qsq
     rank = rank + bias_ref[:]
     rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
-    out_ref[0, 0, :] = rank[:, 0]
+    g = pl.program_id(1)
+    out_ref[0, pl.ds(g, 1), :] = rank.reshape(1, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -109,7 +110,9 @@ def rescore_pallas(x, xsq, bias, q, gidx, *, metric):
     b, gsel = gidx.shape
     d = x.shape[1]
     fast = x.dtype == jnp.bfloat16
-    qd = q.astype(jnp.bfloat16) if fast else q
+    # q stays f32: dynamic bf16 sublane indexing needs a multiple-of-16 proof
+    # Mosaic can't make, and the mul-reduce accumulates in f32 anyway
+    qd = q
     kernel = functools.partial(_rescore_body, metric=metric, fast=fast)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -120,7 +123,7 @@ def rescore_pallas(x, xsq, bias, q, gidx, *, metric):
             pl.BlockSpec((GROUP, 1), lambda i, g, gidx: (gidx[i, g], 0)),
             pl.BlockSpec((b, d), lambda i, g, gidx: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, GROUP), lambda i, g, gidx: (i, g, 0)),
+        out_specs=pl.BlockSpec((1, gsel, GROUP), lambda i, g, gidx: (i, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -204,15 +207,18 @@ def main():
     from vettore_tpu.ops.transport import fetch_barrier, put_f32_matrix
 
     N, D, B, K = 1_000_000, 768, 512, 10
+    CAP = -(-N // 1024) * 1024  # row-tile multiple (matches flat.py sizing)
     data = cached_corpus(N, D)
     queries = make_queries(data, 2 * B)
     x32 = put_f32_matrix(data)
     fetch_barrier(x32)
+    x32 = jnp.concatenate([x32, jnp.zeros((CAP - N, D), jnp.float32)])
     x16 = x32.astype(jnp.bfloat16)
     fetch_barrier(x16)
     xsq = jnp.sum(x32.astype(jnp.float32) ** 2, axis=1)
-    bias = jnp.zeros(N, jnp.float32)
-    lex = jnp.arange(N, dtype=jnp.int32)
+    bias = jnp.concatenate(
+        [jnp.zeros(N, jnp.float32), jnp.full(CAP - N, jnp.inf, jnp.float32)])
+    lex = jnp.arange(CAP, dtype=jnp.int32)
     qdev = jnp.asarray(queries.astype(np.float32))
     q0 = qdev[:B]
 
@@ -223,16 +229,57 @@ def main():
     for variant in ("A", "B"):
         s, r, _, ok = jax.device_get(
             fused2(x32, xsq, bias, lex, q0[:16], metric="cosine", k=K,
-                   row_tile=1024, variant=variant))
+                   row_tile=512, variant=variant))
         assert bool(ok), variant
         assert np.array_equal(s, ref_slots), (variant, s[:2], ref_slots[:2])
         assert np.allclose(r, ref_raws, atol=1e-6), variant
         print(f"variant {variant}: parity ok", flush=True)
 
-    # ---- timing
+    # ---- timing: gmin pass alone, then full variant B
     for label, x in (("f32", x32), ("bf16", x16)):
-        for variant in ("A", "B"):
-            for rt in ((1024,) if label == "f32" else (1024, 2048)):
+        for rt in ((512,) if label == "f32" else (1024, 512)):
+            def gdispatch(i, x=x, rt=rt):
+                s = (i * 37) % (qdev.shape[0] - B)
+                return gmin_scan(x, xsq, bias,
+                                 jax.lax.dynamic_slice_in_dim(qdev, s, B),
+                                 metric="cosine", row_tile=rt)[0]
+            fetch_barrier(gdispatch(0))
+            t0 = time.perf_counter()
+            last = None
+            for i in range(6):
+                last = gdispatch(i)
+            fetch_barrier(last)
+            ms = (time.perf_counter() - t0) / 6 * 1000
+            print(f"{label:5s} gmin T={rt:5d}: {ms:7.2f} ms/batch", flush=True)
+    # stage increments: gmin+topk, then +rescore (bf16, best tile)
+    @functools.partial(jax.jit, static_argnames=("stage",))
+    def staged(x, q, *, stage):
+        gmin, _fin = gmin_scan(x, xsq, bias, q, metric="cosine", row_tile=1024)
+        gsel = K + GROUP_SLACK
+        _v, gidx = jax.lax.top_k(-gmin, gsel)
+        if stage == "topk":
+            return gidx
+        return rescore_pallas(x, xsq, bias, q, gidx, metric="cosine")
+
+    for stage in ("topk", "rescore"):
+        def sdispatch(i, stage=stage):
+            s = (i * 37) % (qdev.shape[0] - B)
+            return staged(x16, jax.lax.dynamic_slice_in_dim(qdev, s, B),
+                          stage=stage)
+        fetch_barrier(sdispatch(0))
+        t0 = time.perf_counter()
+        last = None
+        for i in range(6):
+            last = sdispatch(i)
+        fetch_barrier(last)
+        ms = (time.perf_counter() - t0) / 6 * 1000
+        print(f"bf16  gmin+{stage:8s}: {ms:7.2f} ms/batch", flush=True)
+
+    for label, x in (("f32", x32), ("bf16", x16)):
+        for variant in ("B", "A"):
+            if variant == "A" and os.environ.get("EXP_SKIP_A"):
+                continue
+            for rt in ((512,) if label == "f32" else (1024, 512)):
                 def dispatch(i):
                     s = (i * 37) % (qdev.shape[0] - B)
                     return fused2(x, xsq, bias, lex,

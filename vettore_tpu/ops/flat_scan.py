@@ -1,35 +1,47 @@
-"""Fused exact flat scan: MXU matmul + group-min top-k selection.
+"""Fused exact flat scan: Pallas matmul+group-min kernel + candidate rescore.
 
 TPU-native replacement for the reference's per-row SIMD metric loop with a
-bounded heap (/root/reference/native/vettore/src/flat.rs:96-124). One XLA
-program scores the whole block on the MXU and selects the exact top-k via an
-order-statistic bound over row *groups*:
+bounded heap (/root/reference/native/vettore/src/flat.rs:96-124). The XLA
+formulation (round 3's first cut) materialized the full ``[B, N]`` rank
+matrix in HBM (2 GB at 1M x 512) just to reduce it to per-group minima; the
+Pallas pipeline keeps scores in VMEM end to end:
 
-* ranks reshape to ``[B, N/G, G]`` and reduce to per-group minima — a single
-  cheap pass, instead of k sequential min-extraction sweeps over the block
-  (the round-2 Pallas kernel's bottleneck: ~6x the matmul time at k=16);
-* the best ``Gsel = k + slack`` groups by minimum are gathered. Exactness:
-  the k smallest group-mins are k distinct elements, so the true k-th best
-  rank is <= the k-th smallest group-min ``m_k``; any group whose min exceeds
-  ``m_k`` cannot contain a top-k element. All groups with min <= ``m_k`` fit
-  inside ``Gsel`` unless more than ``slack`` groups tie at exactly ``m_k`` —
-  detected and reported via the ``ok`` flag (callers fall back to the host
-  oracle, the same escape hatch as f32 overflow);
-* the ``[B, Gsel*G]`` candidate ranks sort by (rank, lex id) —
-  reference (rank, id) tie-break, flat.rs:34-40 — and raw scores are
-  recomputed for the k winners at HIGHEST precision.
+* **pass 1** (``_gmin_scan``): grid over row tiles — MXU matmul, rank
+  conversion, overflow detection, and a 64-row group-min, all in VMEM; only
+  ``[N/64, B]`` group minima (32 MB) reach HBM. Measured 11.1 ms/batch at
+  1M x 768 bf16, batch 512 (vs 21.9 ms for the bare XLA matmul alone).
+* **group selection** (XLA): ``top_k`` of ``k + slack`` groups per query,
+  exact by the order-statistic bound — the k smallest group-mins are k
+  distinct elements, so any group whose min exceeds the k-th smallest
+  group-min cannot contain a top-k element. Ties at the boundary deeper
+  than the slack raise the ``ok`` flag (host-oracle fallback).
+* **pass 2** (``_rescore``): scalar-prefetch grid over (query, group) —
+  each step streams one contiguous 64-row block (chosen by the prefetched
+  group index) and recomputes its ranks; no [B, N]-sized gather.
+* **final selection**: ``top_k(k + tie pad)`` by rank, then a small
+  (rank, lex id) sort — reference (rank, id) tie-break, flat.rs:34-40. A
+  rank tie straddling the pad boundary sets ``ok`` False (lex order not
+  provable without the full candidate sort), falling back to the host
+  oracle like overflow does.
 
-Measured on 1M x 768 cosine, batch 512 (TPU v5e): 49.5 ms/batch f32
-(10.4k QPS), 29.9 ms bf16 storage (17.1k QPS) — vs 208 ms for the round-2
-Pallas tile kernel.
+Measured on 1M x 768 cosine, batch 512 (TPU v5e): 44 ms/batch f32-HIGHEST
+(11.6k QPS; the HIGHEST-precision matmul alone measures 33 ms — the f32
+exact path is compute-bound at ~75% of its matmul roofline) and 23 ms bf16
+storage (22.2k QPS) — vs 50/34 ms for the XLA formulation and 208 ms for
+the round-2 k-pass tile kernel. ``VETTORE_FLAT_IMPL=xla`` forces the XLA
+path; shapes whose working set exceeds the VMEM budget fall back to it
+automatically.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 #: rows per selection group (one f32 sublane tile x 8; divides every block
 #: capacity >= 64 produced by the flat index's tile-multiple sizing)
@@ -39,6 +51,11 @@ GROUP = 64
 #: group-min boundary (ties deeper than this raise the fallback flag)
 GROUP_SLACK = 8
 
+#: extra winners taken beyond k in the final by-rank top_k — absorbs exact
+#: rank ties at the k-th boundary so the (rank, lex) sort stays provably
+#: complete (deeper ties raise the fallback flag)
+TIE_PAD = 16
+
 #: largest supported k (same bucket cap as the round-2 kernel)
 MAX_FUSED_K = 128
 
@@ -46,10 +63,155 @@ FUSED_METRICS = ("cosine", "inner_product", "negative_inner_product", "l2", "l2_
 
 _BIG32 = 2**31 - 1
 
+#: scoped-VMEM budget for pass-1 kernel buffers (hardware limit 16 MiB; the
+#: estimate below under-counts Mosaic temporaries, so leave real headroom)
+_VMEM_BUDGET = 10 * 2**20
+
 
 def supports(metric: str, cap: int, k: int) -> bool:
     """Whether the fused group-min scan handles this configuration."""
     return metric in FUSED_METRICS and cap % GROUP == 0 and 0 < k <= MAX_FUSED_K
+
+
+def _pick_row_tile(n: int, d: int, b: int, itemsize: int):
+    """Largest row tile whose pass-1 working set fits the VMEM budget:
+    double-buffered x tile + rank block and temporaries + resident q^T.
+    Tiles below 512 rows would break the gmin output block's 8-sublane
+    minimum (tile/GROUP >= 8). Returns None when nothing fits."""
+    for t in (1024, 512):
+        if n % t:
+            continue
+        est = 2 * t * d * itemsize + 2.5 * t * b * 4 + d * b * itemsize
+        if est <= _VMEM_BUDGET:
+            return t
+    return None
+
+
+# ---------------------------------------------------------------------------
+# pass 1: matmul + group-min (Pallas)
+# ---------------------------------------------------------------------------
+
+
+def _gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref, gmin_ref, flag_ref,
+               *, metric, fast):
+    dots = jnp.dot(
+        x_ref[:], qt_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=None if fast else jax.lax.Precision.HIGHEST,
+    )  # [T, B]
+    if metric in ("cosine", "inner_product", "negative_inner_product"):
+        # shared rank key: -dot (cosine's 1-dot offset applied at the end)
+        rank = -dots
+    else:  # l2 / l2_squared on squared distance (monotonic in true rank)
+        rank = xsq_ref[:] - 2.0 * dots + qsq_ref[:]
+    # overflow on the FULL rank expression for valid rows (distances.rs:59-98
+    # recovers per-pair in f64 on the host path)
+    nonfinite = jnp.logical_not(jnp.isfinite(rank))
+    valid = bias_ref[:] == 0.0
+    flag_ref[0, 0, :] = jnp.broadcast_to(
+        jnp.any(nonfinite & valid).astype(jnp.int32), flag_ref.shape[2:])
+    rank = rank + bias_ref[:]
+    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
+    t, b = rank.shape
+    gmin_ref[:] = jnp.min(rank.reshape(t // GROUP, GROUP, b), axis=1)
+
+
+def _gmin_scan(x, xsq, bias, q, *, metric, row_tile):
+    """Group minima of the rank matrix: ``[B, N/GROUP]`` f32 plus a scalar
+    all-finite flag — the full ``[B, N]`` never leaves VMEM."""
+    n, d = x.shape
+    b = q.shape[0]
+    fast = x.dtype == jnp.bfloat16
+    qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)[None, :]  # [1, B]
+    qt = (q.astype(jnp.bfloat16) if fast else q).T  # one transpose per batch
+    tiles = n // row_tile
+    kernel = functools.partial(_gmin_body, metric=metric, fast=fast)
+    gmin, flags = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((d, b), lambda i: (0, 0)),
+            pl.BlockSpec((1, b), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((row_tile // GROUP, b), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n // GROUP, b), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, b), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * b,
+            bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n // GROUP * b * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qt, qsq)
+    return gmin.T, jnp.sum(flags) == 0
+
+
+# ---------------------------------------------------------------------------
+# pass 2: candidate-group rescore (Pallas, scalar-prefetched group indices)
+# ---------------------------------------------------------------------------
+
+
+def _rescore_body(gidx_ref, x_ref, xsq_ref, bias_ref, q_ref, out_ref,
+                  *, metric, fast):
+    del gidx_ref, fast  # routing happens in the BlockSpec index_maps
+    b = pl.program_id(0)
+    qm = q_ref[pl.ds(b, 1), :]  # [1, d]; q stays f32 — dynamic bf16 sublane
+    # indexing needs an alignment proof Mosaic can't make
+    # mul-reduce matvec (Mosaic's dot_general matvec path miscompiles mixed
+    # dtypes; GROUP x d MACs per step are VPU noise next to the DMA)
+    dots = jnp.sum(
+        x_ref[:].astype(jnp.float32) * qm.astype(jnp.float32),
+        axis=1, keepdims=True)  # [GROUP, 1]
+    if metric in ("cosine", "inner_product", "negative_inner_product"):
+        rank = dots * -1.0
+    else:
+        qsq = jnp.sum(qm.astype(jnp.float32) ** 2)
+        rank = xsq_ref[:] - 2.0 * dots + qsq
+    rank = rank + bias_ref[:]
+    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
+    g = pl.program_id(1)
+    out_ref[0, pl.ds(g, 1), :] = rank.reshape(1, -1)
+
+
+def _rescore(x, xsq, bias, q, gidx, *, metric):
+    """Ranks of every row of the selected groups: ``[B, gsel, GROUP]`` f32.
+    Each grid step DMA-streams one contiguous GROUP-row block of ``x``
+    (group index scalar-prefetched), so cost is ~B * gsel * GROUP row reads —
+    independent of N."""
+    b, gsel = gidx.shape
+    d = x.shape[1]
+    kernel = functools.partial(
+        _rescore_body, metric=metric, fast=x.dtype == jnp.bfloat16)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, gsel),
+        in_specs=[
+            pl.BlockSpec((GROUP, d), lambda i, g, gidx: (gidx[i, g], 0)),
+            pl.BlockSpec((GROUP, 1), lambda i, g, gidx: (gidx[i, g], 0)),
+            pl.BlockSpec((GROUP, 1), lambda i, g, gidx: (gidx[i, g], 0)),
+            pl.BlockSpec((b, d), lambda i, g, gidx: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, gsel, GROUP), lambda i, g, gidx: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, gsel, GROUP), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(gidx, x, xsq.reshape(-1, 1), bias.reshape(-1, 1), q)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fused search
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
@@ -66,47 +228,52 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
     """
     n, d = x.shape
     b = q.shape[0]
-    fast = x.dtype == jnp.bfloat16
-    qd = q.astype(jnp.bfloat16) if fast else q
-    dots = jnp.dot(
-        qd, x.T,
-        preferred_element_type=jnp.float32,
-        precision=None if fast else jax.lax.Precision.HIGHEST,
-    )  # [B, N]
-    if metric in ("cosine", "inner_product", "negative_inner_product"):
-        # shared rank key: -dot (cosine's 1-dot offset applied at the end)
-        rank = -dots
-    else:  # l2 / l2_squared on squared distance (monotonic in true rank)
-        qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)  # [B, 1]
-        rank = xsq.reshape(1, -1) - 2.0 * dots + qsq
-    # overflow on the FULL rank expression for valid rows (distances.rs:59-98
-    # recovers per-pair in f64 on the host path)
-    valid = bias.reshape(1, -1) == 0.0
-    all_finite = jnp.all(jnp.isfinite(rank) | ~valid)
-    rank = rank + bias.reshape(1, -1)
-    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
+    xsq = xsq.reshape(-1)
+    bias = bias.reshape(-1)
+    row_tile = _pick_row_tile(n, d, b, x.dtype.itemsize)
+    if row_tile is None or os.environ.get("VETTORE_FLAT_IMPL") == "xla":
+        return _fused_xla_search(x, xsq, bias, lex_rank, q, metric=metric, k=k)
 
+    gmin, all_finite = _gmin_scan(x, xsq, bias, q, metric=metric,
+                                  row_tile=row_tile)
     ng = n // GROUP
-    rank_g = rank.reshape(b, ng, GROUP)
-    gmin = jnp.min(rank_g, axis=2)  # [B, NG]
     gsel = min(k + GROUP_SLACK, ng)
     neg_gtop, gidx = jax.lax.top_k(-gmin, gsel)
     if gsel < ng and gsel >= k:
         # tie spill check: every group with min <= m_k must be selected
         mk = -neg_gtop[:, k - 1]
-        spill_ok = jnp.all(jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
+        spill_ok = jnp.all(
+            jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
     else:
         spill_ok = jnp.bool_(True)  # whole array selected: trivially exact
 
-    cand = jnp.take_along_axis(rank_g, gidx[:, :, None], axis=1).reshape(b, gsel * GROUP)
+    cand = _rescore(x, xsq, bias, q, gidx, metric=metric).reshape(
+        b, gsel * GROUP)
     cand_slots = (
         gidx[:, :, None] * GROUP + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
     ).reshape(b, gsel * GROUP)
-    cand_lex = jnp.where(jnp.isfinite(cand), lex_rank[cand_slots], _BIG32)
-    rank_s, _, slot_s = jax.lax.sort((cand, cand_lex, cand_slots), num_keys=2, dimension=1)
+
+    sel = min(k + TIE_PAD, gsel * GROUP)
+    neg_sel, pos = jax.lax.top_k(-cand, sel)
+    sel_rank = -neg_sel
+    sel_slots = jnp.take_along_axis(cand_slots, pos, axis=1)
+    sel_lex = jnp.where(jnp.isfinite(sel_rank), lex_rank[sel_slots], _BIG32)
+    rank_s, _, slot_s = jax.lax.sort(
+        (sel_rank, sel_lex, sel_slots), num_keys=2, dimension=1)
+    # a rank tie crossing the pad boundary means lex-smaller ids may sit
+    # outside the selected pad — not provably exact, flag it
+    tie_ok = jnp.all(
+        jnp.logical_or(rank_s[:, k - 1] < sel_rank[:, sel - 1],
+                       jnp.logical_not(jnp.isfinite(sel_rank[:, sel - 1]))))
     top_rank = rank_s[:, :k]
     top_slot = slot_s[:, :k]
+    top_slot, raw, top_rank = _finalize(x, q, top_slot, top_rank, metric=metric)
+    return top_slot, raw, top_rank, all_finite & spill_ok & tie_ok
 
+
+def _finalize(x, q, top_slot, top_rank, *, metric):
+    """Re-scores the k winners at HIGHEST precision (raw values must be
+    f32-exact regardless of the storage/selection dtype)."""
     if metric in ("l2", "l2_squared"):
         # selection ranked via the xsq - 2qx + qsq expansion (monotonic, one
         # matmul); winners re-score DIRECTLY — the expansion cancels
@@ -125,4 +292,50 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
         raw = -rdots if metric == "negative_inner_product" else rdots
         if metric == "cosine":
             top_rank = 1.0 + top_rank  # rank key was -dot
+    return top_slot, raw, top_rank
+
+
+def _fused_xla_search(x, xsq, bias, lex_rank, q, *, metric, k):
+    """XLA fallback: one whole-block matmul + group-min selection with the
+    full-candidate (rank, lex) sort. Exact for arbitrary tie depths (no tie
+    pad), at the cost of materializing the [B, N] rank matrix in HBM."""
+    n, d = x.shape
+    b = q.shape[0]
+    fast = x.dtype == jnp.bfloat16
+    qd = q.astype(jnp.bfloat16) if fast else q
+    dots = jnp.dot(
+        qd, x.T,
+        preferred_element_type=jnp.float32,
+        precision=None if fast else jax.lax.Precision.HIGHEST,
+    )  # [B, N]
+    if metric in ("cosine", "inner_product", "negative_inner_product"):
+        rank = -dots
+    else:
+        qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)  # [B, 1]
+        rank = xsq.reshape(1, -1) - 2.0 * dots + qsq
+    valid = bias.reshape(1, -1) == 0.0
+    all_finite = jnp.all(jnp.isfinite(rank) | ~valid)
+    rank = rank + bias.reshape(1, -1)
+    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
+
+    ng = n // GROUP
+    rank_g = rank.reshape(b, ng, GROUP)
+    gmin = jnp.min(rank_g, axis=2)  # [B, NG]
+    gsel = min(k + GROUP_SLACK, ng)
+    neg_gtop, gidx = jax.lax.top_k(-gmin, gsel)
+    if gsel < ng and gsel >= k:
+        mk = -neg_gtop[:, k - 1]
+        spill_ok = jnp.all(jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
+    else:
+        spill_ok = jnp.bool_(True)
+
+    cand = jnp.take_along_axis(rank_g, gidx[:, :, None], axis=1).reshape(b, gsel * GROUP)
+    cand_slots = (
+        gidx[:, :, None] * GROUP + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, gsel * GROUP)
+    cand_lex = jnp.where(jnp.isfinite(cand), lex_rank[cand_slots], _BIG32)
+    rank_s, _, slot_s = jax.lax.sort((cand, cand_lex, cand_slots), num_keys=2, dimension=1)
+    top_rank = rank_s[:, :k]
+    top_slot = slot_s[:, :k]
+    top_slot, raw, top_rank = _finalize(x, q, top_slot, top_rank, metric=metric)
     return top_slot, raw, top_rank, all_finite & spill_ok
