@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import select
+
 #: rows per selection group (one f32 sublane tile x 8; divides every block
 #: capacity >= 64 produced by the flat index's tile-multiple sizing)
 GROUP = 64
@@ -238,14 +240,14 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
                                   row_tile=row_tile)
     ng = n // GROUP
     gsel = min(k + GROUP_SLACK, ng)
-    neg_gtop, gidx = jax.lax.top_k(-gmin, gsel)
+    gtop, gidx, g_ok = select.group_topk(gmin, gsel)
     if gsel < ng and gsel >= k:
         # tie spill check: every group with min <= m_k must be selected
-        mk = -neg_gtop[:, k - 1]
-        spill_ok = jnp.all(
+        mk = gtop[:, k - 1]
+        spill_ok = jnp.all(g_ok) & jnp.all(
             jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
     else:
-        spill_ok = jnp.bool_(True)  # whole array selected: trivially exact
+        spill_ok = jnp.all(g_ok)  # whole array selected: trivially exact
 
     cand = _rescore(x, xsq, bias, q, gidx, metric=metric).reshape(
         b, gsel * GROUP)
@@ -322,12 +324,13 @@ def _fused_xla_search(x, xsq, bias, lex_rank, q, *, metric, k):
     rank_g = rank.reshape(b, ng, GROUP)
     gmin = jnp.min(rank_g, axis=2)  # [B, NG]
     gsel = min(k + GROUP_SLACK, ng)
-    neg_gtop, gidx = jax.lax.top_k(-gmin, gsel)
+    gtop, gidx, g_ok = select.group_topk(gmin, gsel)
     if gsel < ng and gsel >= k:
-        mk = -neg_gtop[:, k - 1]
-        spill_ok = jnp.all(jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
+        mk = gtop[:, k - 1]
+        spill_ok = jnp.all(g_ok) & jnp.all(
+            jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
     else:
-        spill_ok = jnp.bool_(True)
+        spill_ok = jnp.all(g_ok)
 
     cand = jnp.take_along_axis(rank_g, gidx[:, :, None], axis=1).reshape(b, gsel * GROUP)
     cand_slots = (

@@ -36,9 +36,19 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .select import exact_top_c
+from .select import exact_top_c, exact_top_c_unique_int
 
 _BIG32 = 2**31 - 1
+
+
+def _composite_bits(n: int, d: int):
+    """Slot-bit width for distinct (hamming << slot_bits) | slot composite
+    int32 keys, or None when the address space doesn't fit 31 bits (then the
+    float path with tie-spill detection applies)."""
+    slot_bits = max(1, (n - 1).bit_length())
+    if d.bit_length() + slot_bits <= 31:
+        return slot_bits
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -169,6 +179,33 @@ def _hamming_rank(signs, valid, qsigns, *, d):
     return jnp.where(valid[None, :], ham.astype(jnp.float32), jnp.inf)
 
 
+def _hamming_slots(signs, valid, qsigns, *, count, d):
+    """Exact top-``count`` (hamming, slot) candidates per query.
+
+    Hamming values are integers — at 1M rows hundreds of rows tie at the
+    count-th value, so a float rank + slack-bounded selection degenerates to
+    host fallbacks for ~97% of queries. Composite ``(ham << slot_bits) | slot``
+    int32 keys are DISTINCT per valid row: selection is unconditionally
+    exact and the slot low-bits implement the (rank, id) tie-break
+    (search.rs:23-29; blocks are lex-sorted so slot order is id order).
+    Returns ``(slots [B, count] i32 ascending-by-(ham, slot),
+    ranks [B, count] f32 hamming (+inf pads), ok [B])``."""
+    n = signs.shape[0]
+    slot_bits = _composite_bits(n, d)
+    if slot_bits is None:
+        rank_h = _hamming_rank(signs, valid, qsigns, d=d)
+        return exact_top_c(rank_h, None, c=count)
+    dots = jax.lax.dot_general(
+        qsigns, signs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    ham = (d - dots) >> 1
+    comp = (ham << slot_bits) | jnp.arange(n, dtype=jnp.int32)[None, :]
+    comp = jnp.where(valid[None, :], comp, _BIG32)
+    slots, keys = exact_top_c_unique_int(comp, c=count)
+    ranks = jnp.where(keys < _BIG32, (keys >> slot_bits).astype(jnp.float32),
+                      jnp.inf)
+    return slots, ranks, jnp.ones(slots.shape[0], bool)
+
+
 # ---------------------------------------------------------------------------
 # pipelines (batched; single-query wrappers at the bottom)
 # ---------------------------------------------------------------------------
@@ -201,8 +238,7 @@ def funnel_pipeline_batch(x, valid, queries, *, metric, stages, count, limit):
 def quantized_pipeline_batch(x, signs, valid, queries, *, metric, count, limit, d):
     """Binary-quantized candidates (MXU Hamming) + exact rerank."""
     qs = query_signs(queries[:, :d])
-    rank_h = _hamming_rank(signs, valid, qs, d=d)
-    slots, _, sel_ok = exact_top_c(rank_h, None, c=count)
+    slots, _hams, sel_ok = _hamming_slots(signs, valid, qs, count=count, d=d)
     slots, slot_ok = _sort_candidates(slots, count)
     raw, rank_f, finite = _subset_raw_rank(x, slots, slot_ok, queries,
                                            metric=metric, dims=x.shape[1])
@@ -231,8 +267,7 @@ def funnel_candidates_batch(x, valid, queries, *, metric, stages, count):
 def quantized_candidates_batch(signs, valid, queries, *, count, d):
     """Hamming candidates only (hybrid generator)."""
     qs = query_signs(queries[:, :d])
-    rank_h = _hamming_rank(signs, valid, qs, d=d)
-    slots, _, sel_ok = exact_top_c(rank_h, None, c=count)
+    slots, _hams, sel_ok = _hamming_slots(signs, valid, qs, count=count, d=d)
     slots, slot_ok = _sort_candidates(slots, count)
     return slots, slot_ok, sel_ok
 

@@ -146,8 +146,11 @@ def sharded_quantized_topk(mesh, x, signs, valid, queries, *, metric, count,
     def step(x_loc, signs_loc, valid_loc, q):
         off = jax.lax.axis_index("shard") * n_loc
         qs = pipe.query_signs(q[:, :d])
-        rank_h = pipe._hamming_rank(signs_loc, valid_loc, qs, d=d)
-        lslots, lkeys, sel_ok = exact_top_c(rank_h, None, c=count)
+        # composite-int selection per shard (local ties impossible); the
+        # global (ham, slot) merge stays exact because local slot order is
+        # global slot order within each shard
+        lslots, lkeys, sel_ok = pipe._hamming_slots(
+            signs_loc, valid_loc, qs, count=count, d=d)
         gslots = jnp.where(lslots >= 0, lslots + off, -1)
         g_rank, g_slots = _merge_topc(lkeys, gslots, count)
         lsl, mine = _localize(g_slots, jnp.isfinite(g_rank), off, n_loc)
@@ -213,8 +216,8 @@ def sharded_quantized_candidates(mesh, signs, valid, queries, *, count, d):
     def step(signs_loc, valid_loc, q):
         off = jax.lax.axis_index("shard") * n_loc
         qs = pipe.query_signs(q[:, :d])
-        rank_h = pipe._hamming_rank(signs_loc, valid_loc, qs, d=d)
-        lslots, lkeys, sel_ok = exact_top_c(rank_h, None, c=count)
+        lslots, lkeys, sel_ok = pipe._hamming_slots(
+            signs_loc, valid_loc, qs, count=count, d=d)
         gslots = jnp.where(lslots >= 0, lslots + off, -1)
         g_rank, g_slots = _merge_topc(lkeys, gslots, count)
         return g_slots, jnp.isfinite(g_rank), _all_ok(sel_ok)
