@@ -74,6 +74,10 @@ def main():
         return select.exact_top_c_unique_int(comp, c=COUNT)
     bench("composite+select", composite_sel, dots, valid)
 
+    def hs(signs, valid, qs):
+        return pipe._hamming_slots(signs, valid, qs, count=COUNT, d=D)
+    bench("hamming_slots (current)", hs, signs, valid, qs)
+
     # stage 3: sort + subset rescore + final top-k
     slots, _k = jax.jit(composite_sel)(dots, valid)
     fetch_barrier(slots)

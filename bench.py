@@ -529,7 +529,15 @@ def main():
                 return col.quantized_search_batch(queries[s:s + b], limit=10,
                                                   candidates=cand)
 
-            q_qps = timed_qps(lambda i: quant_dispatch(i), 4, batch)
+            # QPS through the device-to-device serving path (pipelined, like
+            # the flat/hnsw numbers); sync-API latency reported separately
+            def quant_dispatch_dev(i, b=batch):
+                s = (i * 37) % max(1, qdev.shape[0] - b + 1)
+                return col.quantized_search_batch_device(
+                    jax.lax.dynamic_slice_in_dim(qdev, s, b), limit=10,
+                    candidates=cand)
+
+            q_qps = timed_qps(quant_dispatch_dev, 6, batch)
             detail["quantized"] = {"qps": round(q_qps, 1), "candidates": cand,
                                    "overlap_at_10": round(q_overlap, 4),
                                    **timed_sync_percentiles(quant_dispatch)}
@@ -547,7 +555,13 @@ def main():
                 return col.funnel_search_batch(queries[s:s + b], limit=10,
                                                candidates=fcand, stages=list(stages))
 
-            f_qps = timed_qps(lambda i: fun_dispatch(i), 4, batch)
+            def fun_dispatch_dev(i, b=batch):
+                s = (i * 37) % max(1, qdev.shape[0] - b + 1)
+                return col.funnel_search_batch_device(
+                    jax.lax.dynamic_slice_in_dim(qdev, s, b), limit=10,
+                    candidates=fcand, stages=list(stages))
+
+            f_qps = timed_qps(fun_dispatch_dev, 6, batch)
             detail["funnel"] = {"qps": round(f_qps, 1), "stages": list(stages),
                                 "candidates": fcand,
                                 "overlap_at_10": round(f_overlap, 4),

@@ -106,6 +106,13 @@ def _cap_at_least(n: int, floor: int = 8) -> int:
     return -(-n // _ROW_TILE) * _ROW_TILE
 
 
+def _has_tokens(vs) -> bool:
+    """True when a record carries a non-empty multi-vector token set —
+    either a list/tuple of rows (put/put_many) or a [t, d] ndarray
+    (put_tokens). Plain truthiness would raise on a multi-row ndarray."""
+    return vs is not None and len(vs) > 0
+
+
 class _VectorCache:
     """Device-resident mirror of all stored primary vectors for adaptive
     scans (funnel/quantized/hybrid/exact-rerank). Rebuilt from the canonical
@@ -272,7 +279,7 @@ class _VectorCache:
         else the primary vector (collection.ex:773-777)."""
         if self._mv is not None:
             return self._mv
-        if all(not r.vectors for r in self.records):
+        if all(not _has_tokens(r.vectors) for r in self.records):
             # plain single-vector corpus: the token block IS the primary
             # matrix, one stack instead of a per-record walk
             tokens = np.zeros((self.cap, 1, self.dimensions), dtype=np.float32)
@@ -294,9 +301,35 @@ class _VectorCache:
                     counts[i] = 1
             self._mv = (self._put_tokens(tokens), self._put(counts))
             return self._mv
+        first = self.records[0].vectors if self.records else None
+        if (
+            isinstance(first, np.ndarray)
+            and first.ndim == 2
+            and first.shape[1] == self.dimensions
+            and all(
+                isinstance(r.vectors, np.ndarray) and r.vectors.shape == first.shape
+                for r in self.records
+            )
+        ):
+            # bulk-ingested corpus (put_tokens): one [n*t, d] concatenate
+            # instead of a million-record Python walk
+            t = first.shape[0]
+            t_max = _pow2_at_least(t, 1)
+            tokens = np.zeros((self.cap, t_max, self.dimensions), dtype=np.float32)
+            block = np.concatenate(
+                [r.vectors for r in self.records], dtype=np.float32
+            ).reshape(self.n, t, self.dimensions)
+            if not np.isfinite(block).all():
+                raise E.InvalidMultiVector("invalid multi vector")
+            tokens[: self.n, :t] = block
+            counts = np.zeros(self.cap, dtype=np.int32)
+            counts[: self.n] = t
+            self._mv = (self._put_tokens(tokens), self._put(counts))
+            return self._mv
         docs = []
         for r in self.records:
-            vs = r.vectors if r.vectors else ([r.vector] if r.vector is not None else [])
+            vs = r.vectors if _has_tokens(r.vectors) else (
+                [r.vector] if r.vector is not None else [])
             if not vs:
                 docs.append(np.zeros((0, self.dimensions), dtype=np.float32))
                 continue
@@ -832,6 +865,69 @@ class Collection:
             finally:
                 self._bump()
 
+    @observed("put_tokens")
+    def put_tokens(self, ids, tokens, *, values=None, metadata=None) -> None:
+        """Bulk multi-vector ingest from an [n, t, d] token block — the
+        million-document ColBERT path. Semantics match ``put_many`` with
+        ``vectors`` records (primary = normalized mean of the normalized
+        tokens, auto sign packing; collection.ex:1008-1017), but the whole
+        batch is one vectorized validate / normalize / mean / sign-pack.
+        Stored ``vectors`` are [t, d] f32 ndarrays (accepted everywhere a
+        row list is)."""
+        tokens = np.asarray(tokens)
+        if tokens.dtype.kind not in "iuf":
+            tokens = tokens.astype(np.float64)  # rejects non-numeric input
+        if tokens.ndim != 3 or tokens.shape[1] == 0:
+            raise E.InvalidMultiVector("tokens must be [n, t, d]")
+        if tokens.shape[2] != self.dimensions:
+            raise E.DimensionMismatch("dimension mismatch")
+        if len(ids) != tokens.shape[0]:
+            raise E.InvalidVector("ids and token row count differ")
+        if not np.isfinite(tokens).all() or (np.abs(tokens) > F32_MAX).any():
+            raise E.InvalidVector("vector contains a non-finite value")
+        ids = [str(i) for i in ids]
+        if any(not i for i in ids):
+            raise E.MissingId("embedding needs an id or a non-empty string value")
+        n, t, d = tokens.shape
+        normalized = normalize_rows(
+            tokens.reshape(n * t, d), self.normalize
+        ).reshape(n, t, d)
+        # mean in f64 over the normalized tokens — byte parity with
+        # _prepare_batch_multi / _prepare_one
+        primary = normalize_rows(
+            normalized.astype(np.float64).mean(axis=1), self.normalize
+        )
+        packed = pack_signs_u64_rows(primary)
+        prepared = [
+            Embedding(
+                id=id,
+                value=(values[i] if values is not None else id),
+                vector=primary[i],
+                vectors=normalized[i],
+                binary_vector=packed[i],
+                metadata=(metadata[i] if metadata is not None else None),
+            )
+            for i, id in enumerate(ids)
+        ]
+        with self._write_lock:
+            self.ensure_open()
+            self._store.put_many(prepared)
+            try:
+                index_bulk = getattr(self._index, "put_matrix", None)
+                if callable(index_bulk) and not any(
+                    i in getattr(self._index, "_slot_of", {}) for i in ids
+                ):
+                    index_bulk(ids, primary.astype(np.float32, copy=False))
+                else:
+                    self._index.put_many([(e.id, e.vector) for e in prepared])
+            except Exception:
+                for e in prepared:
+                    self._index.delete(e.id)
+                    self._store.delete(e.id)
+                raise
+            finally:
+                self._bump()
+
     def get(self, id: str) -> Embedding:
         if not isinstance(id, str):
             raise E.VettoreError("invalid id", reason="invalid_id")
@@ -1109,6 +1205,74 @@ class Collection:
                 out.append(self._slots_to_results(cache, top[b], raws[b], ranks[b]))
         return out
 
+    def funnel_search_batch_device(self, queries_device, *, limit=10,
+                                   candidates=None, stages=None,
+                                   dimensions=None):
+        """Device-to-device funnel search: takes a resident [B, d] f32
+        PREPARED query block (caller owns validation/normalization — see
+        ``prepare_query``), returns ``(slots, raws, ranks, ok)`` device
+        arrays with no host transfer. The serving/pipelining path, like
+        ``FlatIndex.search_batch_device``; hydrate with
+        ``results_from_device``. On a mesh the batch must be a multiple of
+        the ``data`` axis."""
+        _validate_limit(limit)
+        if candidates is None:
+            candidates = max(limit * 10, limit)
+        _validate_candidates(candidates, limit)
+        stages = self._funnel_stages(stages, dimensions)
+        self.ensure_open()
+        cache = self._scan_cache()
+        x, valid = cache.vectors()
+        count = min(candidates, max(cache.n, 1))
+        k = min(limit, count)
+        if self.mesh is not None:
+            from .parallel import adaptive_mesh as amesh
+
+            return amesh.sharded_funnel_topk(
+                self.mesh, x, valid, queries_device,
+                metric=self.metric, stages=tuple(stages), count=count, limit=k)
+        return pipe.funnel_pipeline_batch(
+            x, valid, queries_device,
+            metric=self.metric, stages=tuple(stages), count=count, limit=k)
+
+    def quantized_search_batch_device(self, queries_device, *, limit=10,
+                                      candidates=None):
+        """Device-to-device quantized search; same contract as
+        ``funnel_search_batch_device``."""
+        _validate_limit(limit)
+        if candidates is None:
+            candidates = max(limit * 10, limit)
+        _validate_candidates(candidates, limit)
+        self.ensure_open()
+        cache = self._scan_cache()
+        x, valid = cache.vectors()
+        signs = cache.signs()
+        count = min(candidates, max(cache.n, 1))
+        k = min(limit, count)
+        if self.mesh is not None:
+            from .parallel import adaptive_mesh as amesh
+
+            return amesh.sharded_quantized_topk(
+                self.mesh, x, signs, valid, queries_device,
+                metric=self.metric, count=count, limit=k, d=self.dimensions)
+        return pipe.quantized_pipeline_batch(
+            x, signs, valid, queries_device,
+            metric=self.metric, count=count, limit=k, d=self.dimensions)
+
+    def results_from_device(self, out) -> list:
+        """Hydrates a ``(slots, raws, ranks, ok)`` device tuple from a
+        ``*_search_batch_device`` call into per-query Result lists. Rows
+        whose ``ok`` flag is False (f32 overflow or selection spill) come
+        back as ``None`` — the sync batch APIs route those to the host
+        oracle instead."""
+        top, raws, ranks, finite = jax.device_get(out)
+        cache = self._scan_cache()
+        return [
+            self._slots_to_results(cache, top[b], raws[b], ranks[b])
+            if bool(finite[b]) else None
+            for b in range(top.shape[0])
+        ]
+
     def _prepare_query_batch(self, queries) -> np.ndarray:
         self.ensure_open()
         if not len(queries):
@@ -1228,7 +1392,7 @@ class Collection:
     def _multi_vector_host(self, cache, _raw_queries, queries, metric, limit):
         documents = []
         for r in cache.records:
-            vs = r.vectors if r.vectors else [r.vector]
+            vs = r.vectors if _has_tokens(r.vectors) else [r.vector]
             documents.append((r.id, [list(np.asarray(v, np.float64)) for v in vs]))
         hits = maxsim_ops.top_k(documents, [list(q) for q in queries], metric, limit)
         return [
@@ -1705,7 +1869,7 @@ class Collection:
                 documents = []
                 for id in candidate_ids:
                     r = cache.by_id[id]
-                    vs = r.vectors if r.vectors else [r.vector]
+                    vs = r.vectors if _has_tokens(r.vectors) else [r.vector]
                     documents.append((id, [list(np.asarray(v, np.float64)) for v in vs]))
                 hits = maxsim_ops.top_k(documents, [list(qv) for qv in queries], metric, limit)
                 return [
@@ -1843,7 +2007,10 @@ def _validate_snapshot_records(collection, records):
                 raise E.MissingId("missing id")
             collection._validate_dims(r.vector)
             if r.vectors is not None:
-                if not isinstance(r.vectors, (list, tuple)) or not r.vectors:
+                if (
+                    not isinstance(r.vectors, (list, tuple, np.ndarray))
+                    or len(r.vectors) == 0
+                ):
                     raise E.InvalidMultiVector("invalid multi vector")
                 for v in r.vectors:
                     collection._validate_dims(v)

@@ -179,6 +179,14 @@ def _hamming_rank(signs, valid, qsigns, *, d):
     return jnp.where(valid[None, :], ham.astype(jnp.float32), jnp.inf)
 
 
+#: slots per group in the group-cover Hamming selection (one lane tile)
+_GROUP = 64
+#: i16 pad for invalid rows' Hamming (any real value is <= d < 16384)
+_BIG16 = 32767
+#: below this many rows the direct full-width composite pass is cheaper
+_GROUP_COVER_MIN = 65536
+
+
 def _hamming_slots(signs, valid, qsigns, *, count, d):
     """Exact top-``count`` (hamming, slot) candidates per query.
 
@@ -188,6 +196,17 @@ def _hamming_slots(signs, valid, qsigns, *, count, d):
     int32 keys are DISTINCT per valid row: selection is unconditionally
     exact and the slot low-bits implement the (rank, id) tie-break
     (search.rs:23-29; blocks are lex-sorted so slot order is id order).
+
+    Large blocks take a two-level GROUP-COVER path: element keys are
+    distinct, so at most ``count`` groups can hold any top-``count``
+    element, and each such group's min element key is <= the count-th
+    element key — selecting the ``count`` smallest ``(group_min_ham,
+    group_index)`` composites (groups are slot-contiguous, so group index
+    order IS min-slot order within equal hamming) provably covers all
+    top-``count`` elements. The full [B, N] i32 composite never
+    materializes: one i16 hamming block, a [B, N/64] group-min pass, and
+    an element pass over the <= count covered groups.
+
     Returns ``(slots [B, count] i32 ascending-by-(ham, slot),
     ranks [B, count] f32 hamming (+inf pads), ok [B])``."""
     n = signs.shape[0]
@@ -195,15 +214,55 @@ def _hamming_slots(signs, valid, qsigns, *, count, d):
     if slot_bits is None:
         rank_h = _hamming_rank(signs, valid, qsigns, d=d)
         return exact_top_c(rank_h, None, c=count)
-    dots = jax.lax.dot_general(
-        qsigns, signs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    ham = (d - dots) >> 1
-    comp = (ham << slot_bits) | jnp.arange(n, dtype=jnp.int32)[None, :]
-    comp = jnp.where(valid[None, :], comp, _BIG32)
-    slots, keys = exact_top_c_unique_int(comp, c=count)
+    b = qsigns.shape[0]
+    ng = n // _GROUP
+    gbits = max(1, (ng - 1).bit_length()) if ng else 0
+    if (
+        n >= _GROUP_COVER_MIN
+        and n % _GROUP == 0
+        and d < _BIG16 // 2
+        and (d + 1).bit_length() + gbits <= 31
+        and ng > count
+    ):
+        # i16 accumulate is overflow-safe (|dot| <= d < 16384) and halves
+        # the [B, N] write traffic; the ham conversion fuses into the
+        # matmul epilogue (measured 7.2 ms vs 7.9+cast at 1M x 768)
+        dots16 = jax.lax.dot_general(
+            qsigns, signs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int16)
+        ham16 = (jnp.int16(d) - dots16) >> 1
+        ham16 = jnp.where(valid[None, :], ham16, jnp.int16(_BIG16))
+        hg = ham16.reshape(b, ng, _GROUP)
+        # all-pad groups clamp to d + 1: still past every real hamming
+        # (<= d) but shift-safe under the (d+1)-bit guard above
+        gmin = jnp.minimum(jnp.min(hg, axis=2).astype(jnp.int32), d + 1)  # [B, NG]
+        gcomp = (gmin << gbits) | jnp.arange(ng, dtype=jnp.int32)[None, :]
+        gslots, _gkeys = exact_top_c_unique_int(gcomp, c=count)
+        sub = jnp.take_along_axis(hg, gslots[:, :, None], axis=1)  # [B, count, 64]
+        sub_slots = (
+            gslots[:, :, None] * _GROUP
+            + jnp.arange(_GROUP, dtype=jnp.int32)[None, None, :]
+        )
+        comp = jnp.where(
+            sub < _BIG16,
+            (sub.astype(jnp.int32) << slot_bits) | sub_slots,
+            _BIG32,
+        ).reshape(b, count * _GROUP)
+        _pos, keys = exact_top_c_unique_int(comp, c=count)
+        # selection returns positions in ``comp`` (a gathered sub-block, not
+        # slot-indexed) — the global slot is the key's low bits
+        slots = jnp.where(keys < _BIG32, keys & ((1 << slot_bits) - 1), -1)
+    else:
+        dots = jax.lax.dot_general(
+            qsigns, signs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        ham = (d - dots) >> 1
+        comp = (ham << slot_bits) | jnp.arange(n, dtype=jnp.int32)[None, :]
+        comp = jnp.where(valid[None, :], comp, _BIG32)
+        slots, keys = exact_top_c_unique_int(comp, c=count)
     ranks = jnp.where(keys < _BIG32, (keys >> slot_bits).astype(jnp.float32),
                       jnp.inf)
-    return slots, ranks, jnp.ones(slots.shape[0], bool)
+    return slots, ranks, jnp.ones(b, bool)
 
 
 # ---------------------------------------------------------------------------
