@@ -54,9 +54,25 @@ def main():
     bench("float exact_top_c", sel, rank)
 
     def whole(x, valid, q):
-        return pipe.funnel_pipeline_batch(x, valid, q, metric="cosine",
+        return pipe.funnel_pipeline_batch(x, valid, q, None, metric="cosine",
                                           stages=STAGES, count=COUNT, limit=10)
-    bench("whole funnel", whole, x, valid, q, iters=4)
+    bench("whole funnel (xla stage1)", whole, x, valid, q, iters=4)
+
+    from vettore_tpu.ops import flat_scan
+
+    xsq = jnp.sum(x[:, :STAGES[0]] ** 2, axis=1)
+    bias = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
+    fetch_barrier(xsq)
+
+    def stage1_fused(x, xsq, bias, q):
+        return flat_scan.fused_stage_candidates(
+            x, xsq, bias, q, metric="cosine", count=COUNT, dims=STAGES[0])
+    bench("stage1 fused candidates", stage1_fused, x, xsq, bias, q)
+
+    def whole_fused(x, valid, q, xsq):
+        return pipe.funnel_pipeline_batch(x, valid, q, xsq, metric="cosine",
+                                          stages=STAGES, count=COUNT, limit=10)
+    bench("whole funnel (fused stage1)", whole_fused, x, valid, q, xsq, iters=4)
 
 
 if __name__ == "__main__":

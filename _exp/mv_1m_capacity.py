@@ -82,12 +82,18 @@ def main():
     qps = B / dt
     phase(f"warm: {dt * 1000:.1f} ms/batch ({qps:.1f} qps)")
 
-    # host oracle on 2 queries over a 64k-doc slice that contains the
-    # device's top hits for those queries (full host oracle = 16 GB f32)
-    phase("host-oracle spot check")
-    sl = np.asarray(slots)
+    # host oracle: restrict the device scan to a 64k-doc slice via the
+    # valid mask, then compare against the host MaxSim over that slice
+    # (a full-corpus host oracle would be a 16 GB f32 einsum)
+    phase("host-oracle spot check (subset-restricted dispatch)")
+    sub_n = 65536
+    valid_sub = jnp.arange(N) < sub_n
+    sl_sub, _sc, ok_sub = maxsim_ops.maxsim_full_topk_batch(
+        tokens, counts, valid_sub, qt_dev[:2], qm_dev[:2],
+        metric="cosine", limit=LIMIT, chunk=chunk)
+    sl = np.asarray(sl_sub)
     sc = np.asarray(scores)
-    tok_sub = np.asarray(tokens[:65536], np.float32)
+    tok_sub = np.asarray(tokens[:sub_n], np.float32)
     agree = []
     for qi in range(2):
         q = qtok[qi]  # [QT, D]
@@ -97,9 +103,8 @@ def main():
         cos = sims / np.maximum(qn * tn, 1e-30)
         tot = np.clip(cos, -1.0, 1.0).max(axis=2).sum(axis=1)
         want = np.argsort(-tot, kind="stable")[:LIMIT]
-        got = [s for s in sl[qi] if s < 65536]
-        inter = len(set(want.tolist()) & set(int(g) for g in got))
-        agree.append(inter / max(1, min(LIMIT, len(got))))
+        inter = len(set(want.tolist()) & set(int(g) for g in sl[qi]))
+        agree.append(inter / LIMIT)
     result = {
         "docs": N, "tokens_per_doc": T, "dims": D, "storage": "bf16",
         "hbm_gib": round(N * T * D * 2 / 2**30, 1),

@@ -609,6 +609,20 @@ def main():
         except Exception as exc:
             detail["skipped"].append(f"config1_error:{type(exc).__name__}")
 
+    # 1M multi-vector capacity evidence (docs/mv_1m_capacity.json, produced
+    # by _exp/mv_1m_capacity.py on-chip): the 8.2 GB token block cannot
+    # cross the tunnel within the bench budget, so the capacity run builds
+    # it on device and drives the same streaming-MaxSim op the collection
+    # dispatches — surface it in the record
+    cap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "mv_1m_capacity.json")
+    if os.path.exists(cap_path):
+        try:
+            with open(cap_path) as f:
+                detail["mv_1m_capacity"] = json.load(f)
+        except Exception:
+            pass
+
     # vs_baseline was computed before the adaptive modes; refresh the ratio
     # in case the headline metric changed since
     if detail.get("cpu_single_core_exact_qps"):

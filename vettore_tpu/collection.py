@@ -19,6 +19,7 @@ collection.ex:1116-1157); score/distance semantics follow
 
 from __future__ import annotations
 
+import functools
 import math
 import threading
 from typing import Iterable
@@ -382,6 +383,17 @@ class _VectorCache:
             self._signs = signs
         return self._signs
 
+    def stage_xsq(self, dims: int):
+        """Device [cap] f32 squared norms over the first ``dims`` columns —
+        the fused funnel stage-1 kernel's renormalization input, computed
+        once per (stage, cache version). Pad rows are zero (cosine denom 0
+        -> sim 0; the +inf bias already masks them)."""
+        key = ("xsq", dims)
+        if key not in self._index_tables:
+            x, _valid = self.vectors()
+            self._index_tables[key] = _prefix_xsq(x, dims=dims)
+        return self._index_tables[key]
+
     def index_slot_table(self, index):
         """Device int32 table mapping an index's internal slots to cache
         (lex) slots, ``2**31 - 1`` where an index slot's id is absent from
@@ -415,6 +427,12 @@ class _VectorCache:
         dev = jnp.asarray(table)
         self._index_tables[key] = dev
         return dev
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _prefix_xsq(x, *, dims):
+    sub = x[:, :dims].astype(jnp.float32)
+    return jnp.sum(sub * sub, axis=1)
 
 
 def _mv_pipeline(tokens, counts, valid, queries, *, metric, limit):
@@ -1104,7 +1122,7 @@ class Collection:
         count = min(candidates, cache.n)
         k = min(limit, count)
         top, raws, ranks, finite = pipe.funnel_pipeline(
-            x, valid, jnp.asarray(q),
+            x, valid, jnp.asarray(q), self._funnel_stage_xsq(cache, stages, count),
             metric=self.metric, stages=tuple(stages), count=count, limit=k,
         )
         top, raws, ranks, finite = jax.device_get((top, raws, ranks, finite))
@@ -1143,6 +1161,7 @@ class Collection:
             B = prepared.shape[0]
             top, raws, ranks, finite = jax.device_get(pipe.funnel_pipeline_batch(
                 x, valid, jnp.asarray(prepared),
+                self._funnel_stage_xsq(cache, stages, count),
                 metric=self.metric, stages=tuple(stages), count=count, limit=k,
             ))
         out = []
@@ -1152,6 +1171,23 @@ class Collection:
             else:
                 out.append(self._slots_to_results(cache, top[b], raws[b], ranks[b]))
         return out
+
+    def _funnel_stage_xsq(self, cache, stages, count):
+        """Prefix squared norms for the fused funnel stage-1 kernel, or None
+        when the config rides the XLA path (mesh, small corpora, unsupported
+        metric/stage width/count)."""
+        from .ops import flat_scan
+
+        cap = cache.cap
+        if (
+            self.mesh is None
+            and cap >= pipe._FUSED_STAGE_MIN
+            and cap % 512 == 0
+            and flat_scan.supports_candidates(
+                self.metric, cap, stages[0], min(count, max(cache.n, 1)))
+        ):
+            return cache.stage_xsq(stages[0])
+        return None
 
     def _mesh_pad_queries(self, prepared: np.ndarray):
         """Pads a prepared query batch to a multiple of the mesh's ``data``
@@ -1232,7 +1268,7 @@ class Collection:
                 self.mesh, x, valid, queries_device,
                 metric=self.metric, stages=tuple(stages), count=count, limit=k)
         return pipe.funnel_pipeline_batch(
-            x, valid, queries_device,
+            x, valid, queries_device, self._funnel_stage_xsq(cache, stages, count),
             metric=self.metric, stages=tuple(stages), count=count, limit=k)
 
     def quantized_search_batch_device(self, queries_device, *, limit=10,
@@ -1624,7 +1660,9 @@ class Collection:
                     )
                 else:
                     slots, slot_ok, g_ok = pipe.funnel_candidates_batch(
-                        x, valid, qdev, metric=self.metric, stages=tuple(stages),
+                        x, valid, qdev,
+                        self._funnel_stage_xsq(cache, stages, count),
+                        metric=self.metric, stages=tuple(stages),
                         count=count,
                     )
                 blocks.append(jnp.where(slot_ok, slots, _BIG32))
@@ -1765,6 +1803,7 @@ class Collection:
             count = min(candidates, cache.n)
             slots, ok, finite = pipe.funnel_candidates_pipeline(
                 x, valid, jnp.asarray(q),
+                self._funnel_stage_xsq(cache, stages, count),
                 metric=self.metric, stages=tuple(stages), count=count,
             )
             slots, ok, finite = jax.device_get((slots, ok, finite))

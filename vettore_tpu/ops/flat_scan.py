@@ -75,15 +75,17 @@ def supports(metric: str, cap: int, k: int) -> bool:
     return metric in FUSED_METRICS and cap % GROUP == 0 and 0 < k <= MAX_FUSED_K
 
 
-def _pick_row_tile(n: int, d: int, b: int, itemsize: int):
+def _pick_row_tile(n: int, d: int, b: int, itemsize: int, tb_factor=2.5):
     """Largest row tile whose pass-1 working set fits the VMEM budget:
-    double-buffered x tile + rank block and temporaries + resident q^T.
-    Tiles below 512 rows would break the gmin output block's 8-sublane
-    minimum (tile/GROUP >= 8). Returns None when nothing fits."""
+    double-buffered x tile + rank block and temporaries + resident q^T
+    (``tb_factor`` scales the rank-block term — the stage-candidate variant
+    holds an extra transposed rank tile). Tiles below 512 rows would break
+    the gmin output block's 8-sublane minimum (tile/GROUP >= 8). Returns
+    None when nothing fits."""
     for t in (1024, 512):
         if n % t:
             continue
-        est = 2 * t * d * itemsize + 2.5 * t * b * 4 + d * b * itemsize
+        est = 2 * t * d * itemsize + tb_factor * t * b * 4 + d * b * itemsize
         if est <= _VMEM_BUDGET:
             return t
     return None
@@ -295,6 +297,219 @@ def _finalize(x, q, top_slot, top_rank, *, metric):
         if metric == "cosine":
             top_rank = 1.0 + top_rank  # rank key was -dot
     return top_slot, raw, top_rank
+
+
+# ---------------------------------------------------------------------------
+# fused stage candidates (funnel stage 1): prefix matmul + group-min +
+# group-cover rescore, never materializing the [B, N] rank matrix
+# ---------------------------------------------------------------------------
+
+#: largest candidate count the fused stage path serves (bounds the pass-2
+#: group-rescore DMA: B * (C + slack) * GROUP * dims bytes)
+MAX_FUSED_C = 512
+
+
+def supports_candidates(metric: str, cap: int, dims: int, count: int) -> bool:
+    """Whether the fused prefix-candidate scan handles this configuration.
+    ``dims % 128`` keeps the pass-1 block on lane-tile boundaries."""
+    return (
+        metric in FUSED_METRICS
+        and cap % GROUP == 0
+        and dims % 128 == 0
+        and 0 < count <= MAX_FUSED_C
+    )
+
+
+def _stage_rank(dots, xsq, qsq, *, metric):
+    """True stage-metric rank from prefix dots — the SAME formulas as
+    pipeline._rank_full (true cosine at every width, search.rs:56-58), so
+    fused and XLA candidate selections order identically up to matmul
+    rounding. ``dots`` [T, B], ``xsq`` [T, 1], ``qsq`` [1, B]."""
+    if metric == "cosine":
+        denom = jnp.sqrt(xsq) * jnp.sqrt(qsq)
+        sim = jnp.where(denom > 0.0, dots / denom, 0.0)
+        return 1.0 - jnp.clip(sim, -1.0, 1.0)
+    if metric == "inner_product":
+        return -dots
+    if metric == "negative_inner_product":
+        return dots
+    sq = jnp.maximum(xsq - 2.0 * dots + qsq, 0.0)
+    return jnp.sqrt(sq) if metric == "l2" else sq
+
+
+def _stage_gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref,
+                     gmin_ref, flag_ref, rank_ref, *, metric):
+    dots = jnp.dot(x_ref[:], qt_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [T, B]
+    rank = _stage_rank(dots, xsq_ref[:], qsq_ref[:], metric=metric)
+    nonfinite = jnp.logical_not(jnp.isfinite(rank))
+    valid = bias_ref[:] == 0.0
+    flag_ref[0, 0, :] = jnp.broadcast_to(
+        jnp.any(nonfinite & valid).astype(jnp.int32), flag_ref.shape[2:])
+    rank = rank + bias_ref[:]
+    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
+    t, b = rank.shape
+    gmin_ref[:] = jnp.min(rank.reshape(t // GROUP, GROUP, b), axis=1)
+    # the full rank tile leaves VMEM transposed to [B, T]: downstream
+    # element extraction gathers query-major rows, and emitting it here
+    # saves the separate [B, N]-rematerializing matmul AND its group-min
+    # re-read (the two passes that dominated the XLA stage-1)
+    rank_ref[:] = rank.T
+
+
+def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
+    """Group minima [B, N/GROUP] AND the full rank matrix [B, N] of the true
+    prefix metric, one fused pass. The x BlockSpec reads only the first
+    ``dims`` columns of the resident block — no [N, dims] prefix copy; the
+    rank matrix is written once (never re-read for the group minima)."""
+    n = x.shape[0]
+    b = q.shape[0]
+    qp = q[:, :dims].astype(jnp.float32)
+    qsq = jnp.sum(qp * qp, axis=1)[None, :]  # [1, B]
+    qt = qp.T
+    tiles = n // row_tile
+    kernel = functools.partial(_stage_gmin_body, metric=metric)
+    gmin, flags, rank = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((row_tile, dims), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((dims, b), lambda i: (0, 0)),
+            pl.BlockSpec((1, b), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((row_tile // GROUP, b), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((b, row_tile), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n // GROUP, b), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, b), jnp.int32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * dims * b,
+            bytes_accessed=n * dims * x.dtype.itemsize + b * dims * 4
+            + n * b * 4 + n // GROUP * b * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qt, qsq)
+    return gmin.T, rank, jnp.sum(flags) == 0
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "count", "dims"))
+def fused_stage_candidates(x, xsq, bias, q, *, metric, count, dims):
+    """Exact top-``count`` candidate slots by the true prefix metric.
+
+    ``x`` [N, d] f32 (lex-sorted cache block), ``xsq`` [N] f32 PREFIX squared
+    norms (over the first ``dims`` columns), ``bias`` [N] f32 (0 valid /
+    +inf invalid), ``q`` [B, d] f32. Returns ``(slots [B, count] i32
+    best-first by (rank, slot), ranks [B, count] f32, ok [B])``; ok False =
+    overflow or a tie spill past the slack (host/XLA fallback).
+
+    Order-statistic exactness as fused_flat_search: the ``count`` smallest
+    group-mins are ``count`` distinct elements, so any group whose min
+    exceeds the count-th smallest group-min holds no top-count element
+    (spill past GROUP_SLACK flags ok False). Elements of the covered groups
+    are gathered from the kernel's own rank output — one fused pass computes
+    matmul, rank, group-min, and the rank matrix write.
+    """
+    n = x.shape[0]
+    b = q.shape[0]
+    xsq = xsq.reshape(-1)
+    bias = bias.reshape(-1)
+    row_tile = _pick_row_tile(n, dims, b, x.dtype.itemsize, tb_factor=3.5)
+    if row_tile is None:
+        raise ValueError("fused_stage_candidates: no VMEM-feasible row tile")
+    gmin, rank, all_finite = _stage_gmin_scan(x, xsq, bias, q, metric=metric,
+                                              dims=dims, row_tile=row_tile)
+    ng = n // GROUP
+    gsel = min(count + GROUP_SLACK, ng)
+    gtop, gidx, g_ok = select.group_topk(gmin, gsel)
+    if gsel < ng and gsel >= count:
+        mk = gtop[:, count - 1]
+        spill_ok = g_ok & (
+            jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
+    else:
+        spill_ok = g_ok
+    cand = jnp.take_along_axis(
+        rank.reshape(b, ng, GROUP), gidx[:, :, None], axis=1
+    ).reshape(b, gsel * GROUP)
+    cand_slots = (
+        gidx[:, :, None] * GROUP
+        + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, gsel * GROUP)
+    slots, ranks, sel_ok = select.exact_top_c_slots(cand, cand_slots, c=count)
+    return slots, ranks, all_finite & spill_ok & sel_ok
+
+
+# ---------------------------------------------------------------------------
+# fused sign scan (quantized stage 1): int8 MXU hamming + group-min + i16
+# hamming-matrix write, one pass
+# ---------------------------------------------------------------------------
+
+_BIG16 = 32767
+
+
+def supports_sign_scan(cap: int, d: int, b: int) -> bool:
+    """Whether the fused sign scan handles this configuration (int8 block
+    tiling needs 128-lane-aligned d; the hamming write block is [B, tile])."""
+    return (
+        cap % GROUP == 0
+        and d % 128 == 0
+        and d < _BIG16 // 2
+        and _pick_row_tile(cap, d, b, 1, tb_factor=3.0) is not None
+    )
+
+
+def _sign_gmin_body(s_ref, valid_ref, qt_ref, gmin_ref, ham_ref, *, d):
+    dots = jnp.dot(s_ref[:], qt_ref[:], preferred_element_type=jnp.int32)  # [T, B]
+    ham = (d - dots) >> 1
+    ham = jnp.where(valid_ref[:] != 0, ham, _BIG16)
+    t, b = ham.shape
+    gmin_ref[:] = jnp.min(ham.reshape(t // GROUP, GROUP, b), axis=1)
+    # transposed i16 hamming matrix for the downstream element gather —
+    # written once from VMEM (the XLA formulation re-read its [B, N] dot
+    # output just to reduce it to group minima)
+    ham_ref[:] = ham.T.astype(jnp.int16)
+
+
+def fused_sign_scan(signs, valid8, qsigns, *, d, row_tile):
+    """One pass over the ±1 int8 block: ``(gmin [B, N/GROUP] i32,
+    ham16 [B, N] i16)`` — hamming = (d - s·q)/2 exactly (the packed
+    XOR+popcount value, distances.rs:426-437), invalid rows pinned to
+    ``_BIG16``."""
+    n = signs.shape[0]
+    b = qsigns.shape[0]
+    tiles = n // row_tile
+    kernel = functools.partial(_sign_gmin_body, d=d)
+    gmin, ham = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((d, b), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((row_tile // GROUP, b), lambda i: (i, 0)),
+            pl.BlockSpec((b, row_tile), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n // GROUP, b), jnp.int32),
+            jax.ShapeDtypeStruct((b, n), jnp.int16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * d * b,
+            bytes_accessed=n * d + b * d + n * b * 2 + n // GROUP * b * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(signs, valid8.reshape(-1, 1), qsigns.T)
+    return gmin.T, ham
 
 
 def _fused_xla_search(x, xsq, bias, lex_rank, q, *, metric, k):

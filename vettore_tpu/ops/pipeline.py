@@ -224,18 +224,30 @@ def _hamming_slots(signs, valid, qsigns, *, count, d):
         and (d + 1).bit_length() + gbits <= 31
         and ng > count
     ):
-        # i16 accumulate is overflow-safe (|dot| <= d < 16384) and halves
-        # the [B, N] write traffic; the ham conversion fuses into the
-        # matmul epilogue (measured 7.2 ms vs 7.9+cast at 1M x 768)
-        dots16 = jax.lax.dot_general(
-            qsigns, signs, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int16)
-        ham16 = (jnp.int16(d) - dots16) >> 1
-        ham16 = jnp.where(valid[None, :], ham16, jnp.int16(_BIG16))
+        from . import flat_scan
+
+        row_tile = flat_scan._pick_row_tile(n, d, b, 1, tb_factor=3.0)
+        if row_tile is not None and flat_scan.supports_sign_scan(n, d, b):
+            # one fused Pallas pass: int8 MXU dot + hamming + group-min in
+            # VMEM + a single transposed i16 hamming write (the XLA
+            # formulation re-read its [B, N] output to reduce it)
+            gmin, ham16 = flat_scan.fused_sign_scan(
+                signs, valid.astype(jnp.int8), qsigns, d=d, row_tile=row_tile)
+        else:
+            # i16 accumulate is overflow-safe (|dot| <= d < 16384) and
+            # halves the [B, N] write traffic; the ham conversion fuses
+            # into the matmul epilogue
+            dots16 = jax.lax.dot_general(
+                qsigns, signs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int16)
+            ham16 = (jnp.int16(d) - dots16) >> 1
+            ham16 = jnp.where(valid[None, :], ham16, jnp.int16(_BIG16))
+            gmin = jnp.min(
+                ham16.reshape(b, ng, _GROUP), axis=2).astype(jnp.int32)
         hg = ham16.reshape(b, ng, _GROUP)
         # all-pad groups clamp to d + 1: still past every real hamming
         # (<= d) but shift-safe under the (d+1)-bit guard above
-        gmin = jnp.minimum(jnp.min(hg, axis=2).astype(jnp.int32), d + 1)  # [B, NG]
+        gmin = jnp.minimum(gmin, d + 1)  # [B, NG]
         gcomp = (gmin << gbits) | jnp.arange(ng, dtype=jnp.int32)[None, :]
         gslots, _gkeys = exact_top_c_unique_int(gcomp, c=count)
         sub = jnp.take_along_axis(hg, gslots[:, :, None], axis=1)  # [B, count, 64]
@@ -270,14 +282,43 @@ def _hamming_slots(signs, valid, qsigns, *, count, d):
 # ---------------------------------------------------------------------------
 
 
+#: rows below which the XLA stage-1 (materialized [B, N] rank matrix) beats
+#: the fused Pallas kernel's fixed costs
+_FUSED_STAGE_MIN = 65536
+
+
+def _stage1_candidates(x, valid, queries, stage_xsq, *, metric, dims, count):
+    """Stage-1 candidate selection: fused Pallas prefix scan (matmul +
+    group-min in VMEM, group-cover rescore — the [B, N] rank matrix never
+    reaches HBM) when the caller supplied prefix norms and the config
+    qualifies; the materializing XLA formulation otherwise. Returns
+    (slots [B, count] best-first, ok [B])."""
+    from . import flat_scan
+
+    n = x.shape[0]
+    if (
+        stage_xsq is not None
+        and n >= _FUSED_STAGE_MIN
+        and n % 512 == 0
+        and flat_scan.supports_candidates(metric, n, dims, count)
+    ):
+        bias = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
+        slots, _ranks, ok = flat_scan.fused_stage_candidates(
+            x, stage_xsq, bias, queries, metric=metric, count=count, dims=dims)
+        return slots, ok
+    rank, finite = _rank_full(x, valid, queries, metric=metric, dims=dims)
+    slots, _, sel_ok = exact_top_c(rank, None, c=count)
+    return slots, finite & sel_ok
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "stages", "count", "limit"))
-def funnel_pipeline_batch(x, valid, queries, *, metric, stages, count, limit):
+def funnel_pipeline_batch(x, valid, queries, stage_xsq=None, *, metric,
+                          stages, count, limit):
     """Matryoshka funnel: prefix stage + exact rerank, one dispatch.
     Returns (slots [B, limit], raws, ranks, ok [B])."""
-    rank, finite = _rank_full(x, valid, queries, metric=metric, dims=stages[0])
-    slots, _, sel_ok = exact_top_c(rank, None, c=count)
+    slots, ok = _stage1_candidates(x, valid, queries, stage_xsq,
+                                   metric=metric, dims=stages[0], count=count)
     slots, slot_ok = _sort_candidates(slots, count)
-    ok = finite & sel_ok
     for dims in stages[1:]:
         raw, rank_c, f = _subset_raw_rank(x, slots, slot_ok, queries,
                                           metric=metric, dims=dims)
@@ -306,13 +347,13 @@ def quantized_pipeline_batch(x, signs, valid, queries, *, metric, count, limit, 
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "stages", "count"))
-def funnel_candidates_batch(x, valid, queries, *, metric, stages, count):
+def funnel_candidates_batch(x, valid, queries, stage_xsq=None, *, metric,
+                            stages, count):
     """Funnel stages only (hybrid generator): lex-sorted candidates.
     Returns (slots [B, C], slot_ok [B, C], ok [B])."""
-    rank, finite = _rank_full(x, valid, queries, metric=metric, dims=stages[0])
-    slots, _, sel_ok = exact_top_c(rank, None, c=count)
+    slots, ok = _stage1_candidates(x, valid, queries, stage_xsq,
+                                   metric=metric, dims=stages[0], count=count)
     slots, slot_ok = _sort_candidates(slots, count)
-    ok = finite & sel_ok
     for dims in stages[1:]:
         raw, rank_c, f = _subset_raw_rank(x, slots, slot_ok, queries,
                                           metric=metric, dims=dims)
@@ -363,9 +404,10 @@ def rerank_batch(x, slots, slot_ok, queries, *, metric, limit):
 # ---------------------------------------------------------------------------
 
 
-def funnel_pipeline(x, valid, q, *, metric, stages, count, limit):
+def funnel_pipeline(x, valid, q, stage_xsq=None, *, metric, stages, count, limit):
     top, raws, ranks, ok = funnel_pipeline_batch(
-        x, valid, q[None, :], metric=metric, stages=stages, count=count, limit=limit)
+        x, valid, q[None, :], stage_xsq, metric=metric, stages=stages,
+        count=count, limit=limit)
     return top[0], raws[0], ranks[0], ok[0]
 
 
@@ -375,9 +417,9 @@ def quantized_pipeline(x, signs, valid, q, *, metric, count, limit, d):
     return top[0], raws[0], ranks[0], ok[0]
 
 
-def funnel_candidates_pipeline(x, valid, q, *, metric, stages, count):
+def funnel_candidates_pipeline(x, valid, q, stage_xsq=None, *, metric, stages, count):
     slots, slot_ok, ok = funnel_candidates_batch(
-        x, valid, q[None, :], metric=metric, stages=stages, count=count)
+        x, valid, q[None, :], stage_xsq, metric=metric, stages=stages, count=count)
     return slots[0], slot_ok[0], ok[0]
 
 

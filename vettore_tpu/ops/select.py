@@ -134,20 +134,13 @@ def exact_top_c_unique_int(key, *, c: int):
     return out_s, out_k
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def exact_top_c(key, lex_rank, *, c: int):
-    """Exact batched top-C: ``key`` [B, N] f32 ascending-is-better (+inf =
-    invalid), ``lex_rank`` [N] int32 id ranks. Returns
-    ``(slots [B, C] i32, keys [B, C] f32, ok [B] bool)`` ordered by
-    (key, lex id); surplus positions carry +inf key and slot -1. ``ok[b]``
-    False = a tie spill exceeded the slack for that query — caller must use
-    an exact fallback for it."""
-    b, n = key.shape
-    c_eff = min(c, n)
-    slots = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+def _descend_and_sort(key, slots, lex_rank, c, c_eff):
+    """Shared tail of the float top-C selections: group-min descent while a
+    level still shrinks the problem, then the exact (key, lex) sort over the
+    survivors. Returns (slots [B, C], keys [B, C], ok [B])."""
+    b = key.shape[0]
     ok = jnp.ones(b, bool)
     cur_key, cur_slots = key, slots
-    # descend while some group level still shrinks the problem
     while True:
         m = cur_key.shape[1]
         for group in (64, 8):
@@ -173,3 +166,26 @@ def exact_top_c(key, lex_rank, *, c: int):
         out_k = jnp.pad(out_k, ((0, 0), (0, pad)), constant_values=jnp.inf)
         out_s = jnp.pad(out_s, ((0, 0), (0, pad)), constant_values=-1)
     return out_s, out_k, ok
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def exact_top_c(key, lex_rank, *, c: int):
+    """Exact batched top-C: ``key`` [B, N] f32 ascending-is-better (+inf =
+    invalid), ``lex_rank`` [N] int32 id ranks. Returns
+    ``(slots [B, C] i32, keys [B, C] f32, ok [B] bool)`` ordered by
+    (key, lex id); surplus positions carry +inf key and slot -1. ``ok[b]``
+    False = a tie spill exceeded the slack for that query — caller must use
+    an exact fallback for it."""
+    b, n = key.shape
+    slots = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    return _descend_and_sort(key, slots, lex_rank, c, min(c, n))
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def exact_top_c_slots(key, slots, *, c: int):
+    """``exact_top_c`` over caller-provided ``(key [B, M], slots [B, M])``
+    pairs — for keyed arrays that are gathered sub-blocks whose positions
+    are NOT global slots (the fused stage-candidate rescore). Slot order
+    must equal lex id order (lex-sorted cache blocks); pads carry +inf key."""
+    b, m = key.shape
+    return _descend_and_sort(key, slots, None, c, min(c, m))
