@@ -242,14 +242,10 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
                                   row_tile=row_tile)
     ng = n // GROUP
     gsel = min(k + GROUP_SLACK, ng)
-    gtop, gidx, g_ok = select.group_topk(gmin, gsel)
-    if gsel < ng and gsel >= k:
-        # tie spill check: every group with min <= m_k must be selected
-        mk = gtop[:, k - 1]
-        spill_ok = jnp.all(g_ok) & jnp.all(
-            jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
-    else:
-        spill_ok = jnp.all(g_ok)  # whole array selected: trivially exact
+    # tie spill check at the K boundary: every group with min <= m_k must be
+    # selected (GROUP_SLACK absorbs up to 8 tied groups past it)
+    gtop, gidx, g_ok = select.group_topk(gmin, gsel, check_c=k)
+    spill_ok = jnp.all(g_ok)
 
     cand = _rescore(x, xsq, bias, q, gidx, metric=metric).reshape(
         b, gsel * GROUP)
@@ -428,13 +424,7 @@ def fused_stage_candidates(x, xsq, bias, q, *, metric, count, dims):
                                               dims=dims, row_tile=row_tile)
     ng = n // GROUP
     gsel = min(count + GROUP_SLACK, ng)
-    gtop, gidx, g_ok = select.group_topk(gmin, gsel)
-    if gsel < ng and gsel >= count:
-        mk = gtop[:, count - 1]
-        spill_ok = g_ok & (
-            jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
-    else:
-        spill_ok = g_ok
+    gtop, gidx, spill_ok = select.group_topk(gmin, gsel, check_c=count)
     cand = jnp.take_along_axis(
         rank.reshape(b, ng, GROUP), gidx[:, :, None], axis=1
     ).reshape(b, gsel * GROUP)
@@ -539,13 +529,8 @@ def _fused_xla_search(x, xsq, bias, lex_rank, q, *, metric, k):
     rank_g = rank.reshape(b, ng, GROUP)
     gmin = jnp.min(rank_g, axis=2)  # [B, NG]
     gsel = min(k + GROUP_SLACK, ng)
-    gtop, gidx, g_ok = select.group_topk(gmin, gsel)
-    if gsel < ng and gsel >= k:
-        mk = gtop[:, k - 1]
-        spill_ok = jnp.all(g_ok) & jnp.all(
-            jnp.sum((gmin <= mk[:, None]).astype(jnp.int32), axis=1) <= gsel)
-    else:
-        spill_ok = jnp.all(g_ok)
+    gtop, gidx, g_ok = select.group_topk(gmin, gsel, check_c=k)
+    spill_ok = jnp.all(g_ok)
 
     cand = jnp.take_along_axis(rank_g, gidx[:, :, None], axis=1).reshape(b, gsel * GROUP)
     cand_slots = (

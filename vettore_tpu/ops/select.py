@@ -39,23 +39,33 @@ _DIRECT_TOPK = 2048
 _BIG32 = 2**31 - 1
 
 
-def group_topk(gmin, gsel):
-    """Exact per-row top-``gsel`` smallest entries of ``gmin`` [B, ng]
+def group_topk(gmin, gsel, check_c=None):
+    """Per-row ``gsel`` smallest entries of ``gmin`` [B, ng]
     (ascending-is-better, +inf pad): returns ``(values, idx, ok)`` sorted
     ascending. ``lax.top_k`` lowers to a full bitonic sort on TPU —
     O(ng·log²ng) per row, ~46 ms for gsel=520 over [512, 15632] — so for
     large ``ng`` this descends recursively through 8-wide super-group
     minima first (the gsel smallest group-mins occupy at most gsel
     super-groups; any super-group whose min exceeds the gsel-th smallest
-    group-min holds none of them). Every level re-verifies its boundary
-    against its FULL input (count of entries <= selected c-th value must
-    fit the selection), so a False ``ok`` is raised wherever ties spill
-    past the slack — same contract as the direct path."""
+    group-min holds none of them).
+
+    ``check_c`` is the CALLER's exactness boundary: ``ok[b]`` asserts that
+    every position whose value is <= the ``check_c``-th selected value was
+    selected. One global count against the full input suffices — internal
+    recursion levels need no checks of their own, because any excluded
+    position at or below that boundary would force >= gsel+1 positions at
+    or below it (each level keeps ``level_sel + SLACK >= gsel`` covers), and
+    the count would fail. Checking at the caller's boundary instead of the
+    gsel-th matters in practice: bf16 ranks tie so densely that a gsel-th
+    boundary check fails on most real batches (whole batches then stampede
+    into the per-query host oracle), while the k-th boundary plus
+    GROUP_SLACK absorbs them. ``check_c=None`` skips the check (ok True) —
+    for callers that verify exactness themselves."""
     b, ng = gmin.shape
     if ng % 8 == 0 and ng // 8 > gsel + SLACK and ng > _DIRECT_TOPK:
         sup = gmin.reshape(b, ng // 8, 8)
         smin = jnp.min(sup, axis=2)
-        _sv, sidx, sok = group_topk(smin, min(gsel + SLACK, ng // 8))
+        _sv, sidx, _sok = group_topk(smin, min(gsel + SLACK, ng // 8))
         ssel = sidx.shape[1]
         sub = jnp.take_along_axis(sup, sidx[:, :, None], axis=1).reshape(b, ssel * 8)
         sub_idx = (
@@ -65,15 +75,15 @@ def group_topk(gmin, gsel):
         neg_top, pos = jax.lax.top_k(-sub, gsel)
         vals = -neg_top
         idx = jnp.take_along_axis(sub_idx, pos, axis=1)
-        # global boundary check on the FULL gmin (one compare+reduce pass):
-        # every group at or below the gsel-th selected value must have been
-        # selectable, or the selection isn't provably exact
-        mc = vals[:, gsel - 1]
-        ok = jnp.sum((gmin <= mc[:, None]).astype(jnp.int32), axis=1) <= gsel
-        return vals, idx, sok & ok
-    gsel = min(gsel, ng)
-    neg_top, idx = jax.lax.top_k(-gmin, gsel)
-    return -neg_top, idx, jnp.ones(b, bool)
+    else:
+        gsel = min(gsel, ng)
+        neg_top, idx = jax.lax.top_k(-gmin, gsel)
+        vals = -neg_top
+    if check_c is None or gsel >= ng:
+        return vals, idx, jnp.ones(b, bool)
+    mc = vals[:, min(check_c, gsel) - 1]
+    ok = jnp.sum((gmin <= mc[:, None]).astype(jnp.int32), axis=1) <= gsel
+    return vals, idx, ok
 
 
 def _level(key, slots, c, group):
@@ -86,10 +96,7 @@ def _level(key, slots, c, group):
     kg = key.reshape(b, ng, group)
     gmin = jnp.min(kg, axis=2)
     gsel = min(c + SLACK, ng)
-    gtop, gidx, ok = group_topk(gmin, gsel)
-    if gsel < ng and gsel >= c:
-        mc = gtop[:, c - 1]
-        ok = ok & (jnp.sum((gmin <= mc[:, None]).astype(jnp.int32), axis=1) <= gsel)
+    gtop, gidx, ok = group_topk(gmin, gsel, check_c=c)
     key2 = jnp.take_along_axis(kg, gidx[:, :, None], axis=1).reshape(b, gsel * group)
     slots2 = jnp.take_along_axis(
         slots.reshape(b, ng, group), gidx[:, :, None], axis=1
