@@ -321,8 +321,16 @@ def prime_main(n, d):
     else:
         _phase("prime: graph cache already present")
 
-    # multi-vector corpus + graph caches (config 5; small next to the 1M block)
-    mv_caches(n)
+    # multi-vector corpus + graph caches (config 5; small next to the 1M
+    # block). Run the hybrid phase itself: it builds AND saves the MV HNSW
+    # graph when the cache is missing (a cold build inside the timed run
+    # eats the hybrid phase's whole budget), and its primaries byte-match
+    # put_tokens' normalize-mean-normalize pipeline by construction.
+    _phase("prime: hybrid/mv phase (builds mv graph cache)")
+    try:
+        run_hybrid_mv({}, n, prime=True)
+    except Exception as exc:  # cache priming is best-effort
+        _phase(f"prime: hybrid/mv failed: {exc}")
 
     # CPU single-core baseline (the vs_baseline denominator): ~8 min uncached
     # at 1M x 768 (3 GB tmp round-trip + single-core scans) — pay it here so
@@ -633,6 +641,32 @@ def main():
                 detail["mv_1m_capacity"] = json.load(f)
         except Exception:
             pass
+
+    # ---- headline: the BASELINE north star is recall@10 parity (>= 0.95 vs
+    # the exact scan) at maximum QPS — report the fastest qualifying mode,
+    # whichever it is (on one v5e the bf16 MXU scan outruns the graph at 1M)
+    contenders = [("flat_exact_f32", detail.get("flat_exact_qps"), 1.0)]
+    if "flat_bf16" in detail:
+        contenders.append(("flat_bf16", detail["flat_bf16"]["qps"],
+                           detail["flat_bf16"]["overlap_at_10"]))
+    if detail.get("recall_at_10") is not None and "hnsw" in detail:
+        contenders.append(("hnsw", STATE["value"]
+                           if STATE["metric"].startswith("hnsw") else None,
+                           detail["recall_at_10"]))
+    for mode in ("quantized", "funnel"):
+        if mode in detail:
+            contenders.append((mode, detail[mode]["qps"],
+                               detail[mode]["overlap_at_10"]))
+    best = max(
+        (c for c in contenders if c[1] and c[2] is not None and c[2] >= RECALL_GATE),
+        key=lambda c: c[1], default=None)
+    if best is not None and best[1] > STATE["value"]:
+        detail["headline_mode"] = best[0]
+        detail["hnsw_qps"] = STATE["value"] if STATE["metric"].startswith("hnsw") else None
+        STATE.update({
+            "metric": f"best_qps_at_recall10>={RECALL_GATE}_{n}x{d}_cosine",
+            "value": round(best[1], 1),
+        })
 
     # vs_baseline was computed before the adaptive modes; refresh the ratio
     # in case the headline metric changed since

@@ -242,3 +242,48 @@ class TestPendingTailScores:
         else:
             assert np.allclose(raw, rank)
         assert np.isfinite(raw).all() and best.shape == (3,)
+
+
+class TestExoticMetricMaxSim:
+    """The manhattan/chebyshev/hamming/jaccard MaxSim similarity branches
+    (multi_vector.rs:40-87 supports all nine metrics)."""
+
+    @pytest.mark.parametrize(
+        "metric", ["manhattan", "chebyshev", "hamming", "jaccard"])
+    def test_mv_search_exotic_metrics(self, metric):
+        d = 8
+        data = _corpus(32, d, seed=20)
+        c = Collection(name=f"mx-{metric}", dimensions=d, metric=metric,
+                       index="flat")
+        c.put_many([
+            {"id": f"m-{i:02d}", "vectors": [list(v), list(-v)]}
+            for i, v in enumerate(data)
+        ])
+        hits = c.multi_vector_search([list(data[3])], limit=3)
+        assert len(hits) == 3 and all(np.isfinite(r.score) for r in hits)
+        batch = c.multi_vector_search_batch([[list(data[3])]], limit=3)
+        assert [r.id for r in batch[0]] == [r.id for r in hits]
+
+
+class TestRaggedTokenCounts:
+    def test_mixed_token_counts_search(self):
+        d = 8
+        data = _corpus(24, d, seed=21)
+        c = Collection(name="rt", dimensions=d, metric="cosine", index="flat")
+        items = []
+        for i, v in enumerate(data):
+            t = 1 + (i % 3)
+            items.append({"id": f"r-{i:02d}",
+                          "vectors": [list(v)] * t})
+        c.put_many(items)
+        hits = c.multi_vector_search([list(data[5])], limit=4)
+        assert hits[0].id == "r-05"
+
+    def test_single_vector_fallback_rows(self):
+        # records without `vectors` ride the primary-vector token path
+        d = 8
+        data = _corpus(16, d, seed=22)
+        c = Collection(name="sv", dimensions=d, metric="cosine", index="flat")
+        c.put_matrix([f"s-{i:02d}" for i in range(16)], data)
+        hits = c.multi_vector_search([list(data[2])], limit=2)
+        assert hits[0].id == "s-02"

@@ -124,7 +124,7 @@ def pytest_sessionfinish(session, exitstatus):
     pct = 100.0 * tot_hit / max(tot_exec, 1)
     gate = float(os.environ.get("VETTORE_COV_MIN", "90"))
     tw = config.get_terminal_writer()
-    tw.sep("-", f"vettore_tpu line coverage: {pct:.1f}% (gate {gate:.0f}%)")
+    tw.sep("-", f"vettore_tpu line coverage: {pct:.2f}% (gate {gate:.0f}%)")
     for rel, h, e in rows:
         mark = "" if h / e >= gate / 100 else "  <-- below gate"
         tw.line(f"{rel:58s} {h:5d}/{e:<5d} {100.0 * h / e:5.1f}%{mark}")
@@ -133,5 +133,5 @@ def pytest_sessionfinish(session, exitstatus):
         "files": {r: round(100.0 * h / e, 2) for r, h, e in rows},
     }))
     if pct < gate:
-        tw.line(f"COVERAGE GATE FAILED: {pct:.1f}% < {gate:.0f}%")
+        tw.line(f"COVERAGE GATE FAILED: {pct:.2f}% < {gate:.0f}%")
         session.exitstatus = 1
