@@ -715,9 +715,12 @@ def run_hybrid_mv(detail, n, prime):
     token_noise = np.float32(0.3 / np.sqrt(mv_d))
 
     mv_ids = [f"mv-{i:06d}" for i in range(mv_n)]
+    # ingest against a FLAT index (bulk put_matrix path) — the HNSW graph is
+    # attached below from cache/bulk; ingesting straight into an hnsw
+    # collection would incrementally host-insert 100k nodes (~10 min) only
+    # to throw the graph away
     mv_col = Collection(name="bench-mv", dimensions=mv_d, metric="cosine",
-                        index="hnsw", index_options={**HNSW_PARAMS, "ef_search": 64})
-    mv_col.index.BULK_THRESHOLD = 10**9  # graph comes from cache/bulk below
+                        index="flat")
     _phase("mv ingest")
     t0 = time.perf_counter()
     mv_col.put_tokens(mv_ids, tokens)  # bulk token ingest, no per-record walk

@@ -287,3 +287,23 @@ class TestRaggedTokenCounts:
         c.put_matrix([f"s-{i:02d}" for i in range(16)], data)
         hits = c.multi_vector_search([list(data[2])], limit=2)
         assert hits[0].id == "s-02"
+
+
+class TestAttachIndexKind:
+    def test_attach_updates_index_kind(self):
+        from vettore_tpu.index.hnsw import HnswIndex
+
+        d = 8
+        data = _corpus(64, d, seed=30)
+        ids = [f"k-{i:02d}" for i in range(64)]
+        c = Collection(name="ak", dimensions=d, metric="cosine", index="flat")
+        c.put_matrix(ids, data)
+        assert c.index_kind == "flat"
+        idx = HnswIndex("cosine", {"ef_search": 16})
+        idx.put_many([(i, c.get(i).vector) for i in ids])
+        c.attach_index(idx)
+        assert c.index_kind == "hnsw"
+        # the hnsw hybrid generator is now legal on this collection
+        hits = c.hybrid_search(list(data[4]), limit=3,
+                               generators=[("hnsw", {"candidates": 16})])
+        assert hits[0].id == "k-04"

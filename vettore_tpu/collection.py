@@ -646,6 +646,17 @@ class Collection:
                     f"attached index holds {index_n} records, collection has {n}"
                 )
             self._index = index
+            # the attached index defines the collection's kind (an hnsw
+            # graph swapped over a flat-ingested collection enables the
+            # hnsw hybrid generator, load_snapshot index overrides, etc.)
+            from .index.hnsw import HnswIndex as _Hnsw
+
+            if isinstance(index, FlatIndex):
+                self.index_kind = "flat"
+            elif isinstance(index, _Hnsw):
+                self.index_kind = "hnsw"
+            else:
+                self.index_kind = "custom"
             self._bump()
 
     def _bump(self):
