@@ -5,6 +5,7 @@ test/vector_store_compat_test.exs and the ETS snapshot paths)."""
 import hashlib
 import threading
 
+import numpy as np
 import pytest
 
 from vettore_tpu import errors
@@ -110,8 +111,10 @@ class TestSnapshot:
         assert config == {"metric": "cosine", "dimensions": 2}
         a, b = loaded.get("a"), loaded.get("b")
         assert a.value == "va" and a.metadata == {"k": 1}
-        assert a.vector == [1.0, 0.0] and a.binary_vector == [1]
-        assert b.vectors == [[0.0, 1.0], [1.0, 1.0]]
+        # loaded vectors are ndarray row views (no per-element Python floats)
+        assert np.array_equal(np.asarray(a.vector), [1.0, 0.0])
+        assert np.array_equal(np.asarray(a.binary_vector, dtype=np.uint64), [1])
+        assert np.array_equal(np.asarray(b.vectors), [[0.0, 1.0], [1.0, 1.0]])
 
     def test_empty_round_trip(self, tmp_path):
         path = str(tmp_path / "empty.snap")

@@ -2035,9 +2035,23 @@ def _restore(loaded_store, config, *, name, index, index_options, score, mesh=No
 
     records = loaded_store.all()
     _validate_snapshot_records(collection, records)
-    collection._index.put_many(
-        [(r.id, r.vector) for r in sorted(records, key=lambda r: r.id)]
-    )
+    records = sorted(records, key=lambda r: r.id)
+    # million-row restore: one stacked matrix through the index's bulk path
+    # (a per-pair put_many loop costs minutes at 1M; the canonical-store
+    # rebuild must stay O(n) numpy — same posture as put_matrix)
+    index_bulk = getattr(collection._index, "put_matrix", None)
+    mat = None
+    if callable(index_bulk) and records and all(
+        isinstance(r.vector, np.ndarray) and r.vector.shape == (dimensions,)
+        for r in records
+    ):
+        mat = np.concatenate(
+            [r.vector for r in records], dtype=np.float32
+        ).reshape(len(records), dimensions)
+    if mat is not None:
+        index_bulk([r.id for r in records], mat)
+    else:
+        collection._index.put_many([(r.id, r.vector) for r in records])
     configure = getattr(loaded_store, "configure", None)
     if callable(configure):
         configure(collection._config())
@@ -2047,6 +2061,29 @@ def _restore(loaded_store, config, *, name, index, index_options, score, mesh=No
 def _validate_snapshot_records(collection, records):
     if not isinstance(records, list):
         raise E.InvalidSnapshot("invalid snapshot records")
+    d = collection.dimensions
+    W = words_for(d)
+    # vectorized fast path for what the snapshot reader actually produces
+    # (homogeneous f32 ndarray rows, uint64 word rows): one bulk finite
+    # check instead of a million per-record validations. Anything unusual
+    # falls through to the per-record loop for the precise error.
+    if records and all(
+        isinstance(r, Embedding)
+        and ((isinstance(r.id, str) and r.id)
+             or (isinstance(r.value, str) and r.value))
+        and isinstance(r.vector, np.ndarray)
+        and r.vector.shape == (d,)
+        and r.vector.dtype == np.float32
+        and r.vectors is None
+        and (r.binary_vector is None or (
+            isinstance(r.binary_vector, np.ndarray)
+            and r.binary_vector.dtype == np.uint64
+            and r.binary_vector.shape == (W,)))
+        for r in records
+    ):
+        block = np.concatenate([r.vector for r in records]).reshape(-1, d)
+        if np.isfinite(block).all():
+            return
     for r in records:
         if not isinstance(r, Embedding):
             raise E.InvalidSnapshotRecord("invalid_embedding")

@@ -45,6 +45,38 @@ def _records_payload(records: list[Embedding]):
     # candidates after a round-trip
     binary_mask = np.zeros(n, dtype=np.uint8)
     binary_words = None
+
+    # vectorized fast path for bulk-ingested corpora (ndarray rows, no
+    # multi-vectors, uniform uint64 word rows): one concatenate + one stack
+    # instead of a million-iteration assignment loop
+    if n and all(
+        isinstance(r.vector, np.ndarray)
+        and r.vector.shape == (dims,)
+        and r.vectors is None
+        and (r.binary_vector is None or (
+            isinstance(r.binary_vector, np.ndarray)
+            and r.binary_vector.dtype == np.uint64
+            and r.binary_vector.ndim == 1))
+        for r in records
+    ):
+        widths = {r.binary_vector.shape[0] for r in records
+                  if r.binary_vector is not None}
+        if len(widths) <= 1:
+            vectors = np.concatenate(
+                [r.vector for r in records], dtype=np.float32
+            ).reshape(n, dims)
+            w = widths.pop() if widths else 0
+            binary_words = np.zeros((n, w), dtype=np.uint64)
+            with_bv = [i for i, r in enumerate(records)
+                       if r.binary_vector is not None]
+            if with_bv and w:
+                binary_words[with_bv] = np.stack(
+                    [records[i].binary_vector for i in with_bv])
+                binary_mask[with_bv] = 1
+            mv_flat = np.zeros((0, dims), dtype=np.float32)
+            return (ids, values_json, metadata_json, vectors, mv_counts,
+                    mv_flat, binary_words, binary_mask)
+
     for i, r in enumerate(records):
         vectors[i] = np.asarray(r.vector, dtype=np.float32)
         if r.vectors is not None:
@@ -167,17 +199,20 @@ def load_snapshot(path: str):
         t = int(mv_counts[i])
         mv = None
         if t:
-            mv = [[float(v) for v in row] for row in mv_flat[offset : offset + t]]
+            # [t, d] f32 ndarray — the put_tokens storage form, accepted by
+            # every consumer
+            mv = mv_flat[offset : offset + t]
             offset += t
         records.append(
             Embedding(
                 id=ids[i],
                 value=values[i],
-                vector=[float(v) for v in vectors[i]],
+                # ndarray row views (zero copies): converting a million rows
+                # to Python float lists costs minutes and ~25 GB of floats;
+                # the insert pipeline stores ndarray rows anyway
+                vector=vectors[i],
                 vectors=mv,
-                binary_vector=(
-                    [int(w) for w in binary_words[i]] if binary_mask[i] else None
-                ),
+                binary_vector=(binary_words[i] if binary_mask[i] else None),
                 metadata=metadata[i],
             )
         )
