@@ -55,7 +55,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 SEED = 20_260_721
-HNSW_PARAMS = {"m": 16, "m0": 32, "ef_construction": 100, "max_level": 12}
+#: expand_w=4: cheaper traversal steps at the same ef — measured 1M x 768
+#: recall@10 0.9916 (vs 0.9955 at the default 8) at ~1.35x the QPS; the ef
+#: sweep still raises ef if the recall gate ever fails
+HNSW_PARAMS = {"m": 16, "m0": 32, "ef_construction": 100, "max_level": 12,
+               "expand_w": 4}
 EF_SWEEP = (16, 24, 32, 48, 64, 96, 128, 256, 512)
 RECALL_GATE = 0.95
 CACHE_DIR = os.environ.get("VETTORE_BENCH_CACHE", "/root/.cache/vettore_bench")

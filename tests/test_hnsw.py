@@ -236,3 +236,23 @@ class TestCollectionIntegration:
     def test_unsupported_hnsw_metric_in_collection(self):
         with pytest.raises(errors.UnsupportedHnswMetric):
             vt.Collection(dimensions=4, metric="manhattan", index="hnsw")
+
+
+def test_expand_w_option_validation_and_search():
+    import numpy as np
+
+    from vettore_tpu.index.hnsw import HnswIndex, InvalidHnswOptions
+
+    with np.errstate(all="ignore"):
+        rng = np.random.default_rng(40)
+        data = rng.standard_normal((64, 8)).astype(np.float32)
+    idx = HnswIndex("l2", {"ef_search": 16, "expand_w": 2})
+    idx.put_many([(f"w-{i:02d}", data[i]) for i in range(64)])
+    hits = idx.search(list(data[9]), 3)
+    assert hits[0][0] == "w-09"
+
+    import pytest
+
+    for bad in (0, -1, 257, "x"):
+        with pytest.raises(InvalidHnswOptions):
+            HnswIndex("l2", {"expand_w": bad})

@@ -42,6 +42,12 @@ DEFAULT_OPTIONS = {
     "ef_construction": 100,
     "ef_search": 64,
     "max_level": 12,
+    # TPU-native extension: beam entries expanded per traversal iteration.
+    # Narrower = cheaper steps (W * m0 neighbor gathers), wider = more
+    # exploration per step at the same ef (recall can only rise with W
+    # at fixed ef; 1M x 768 measured: W=4 0.9916 recall / 10.6k QPS,
+    # W=8 0.9955 / 7.9k, W=16 0.9980 / 5.3k at ef=16).
+    "expand_w": 8,
 }
 
 _MAX_M = 1_024
@@ -85,6 +91,8 @@ def validate_options(options: dict | None) -> dict:
         raise InvalidHnswOptions("invalid ef_search")
     if not (pos_int(max_level) and max_level <= _MAX_LEVEL):
         raise InvalidHnswOptions("invalid max_level")
+    if not (pos_int(merged["expand_w"]) and merged["expand_w"] <= 256):
+        raise InvalidHnswOptions("invalid expand_w")
     return merged
 
 
@@ -519,6 +527,7 @@ class HnswIndex(Index):
         hub_slots, hub_x = graph.hubs(_jnp.bfloat16 if bf16 else _jnp.float32)
         valid = getattr(graph, "valid", None)
         hub_valid = graph.hub_validity() if valid is not None else None
+        w = self.params.get("expand_w") or hnsw_device.EXPAND_W
         outs = []
         for start in range(0, queries_device.shape[0], chunk):
             ids, raws, _dists = hnsw_device._search_kernel(
@@ -527,9 +536,9 @@ class HnswIndex(Index):
                 queries_device[start : start + chunk],
                 metric=graph.metric, lmax=graph.lmax, ef=ef,
                 limit=min(limit, graph.n),
-                max_steps=hnsw_device.step_bound(ef), xb=xb,
+                max_steps=hnsw_device.step_bound(ef, w), xb=xb,
                 hub_slots=hub_slots, hub_x=hub_x,
-                hub_valid=hub_valid, valid=valid,
+                hub_valid=hub_valid, valid=valid, expand_w=w,
             )
             outs.append((ids, raws))
         if len(outs) == 1:

@@ -344,7 +344,8 @@ def search(host, queries: np.ndarray, limit: int) -> list:
     hub_slots, hub_x = graph.hubs(jnp.bfloat16 if traversal == "bf16" else jnp.float32)
     valid = getattr(graph, "valid", None)
     hub_valid = graph.hub_validity() if valid is not None else None
-    max_steps = step_bound(ef)
+    w = host.params.get("expand_w") or EXPAND_W
+    max_steps = step_bound(ef, w)
 
     out = []
     queries = np.asarray(queries, dtype=np.float32)
@@ -364,7 +365,7 @@ def search(host, queries: np.ndarray, limit: int) -> list:
                 graph.entry_slot, graph.entry_level, jnp.asarray(chunk),
                 metric=graph.metric, lmax=graph.lmax, ef=ef, limit=k,
                 max_steps=max_steps, xb=xb, hub_slots=hub_slots, hub_x=hub_x,
-                hub_valid=hub_valid, valid=valid,
+                hub_valid=hub_valid, valid=valid, expand_w=w,
             )
         )
         ids, raws = ids[:real], raws[:real]
