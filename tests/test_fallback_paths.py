@@ -307,3 +307,57 @@ class TestAttachIndexKind:
         hits = c.hybrid_search(list(data[4]), limit=3,
                                generators=[("hnsw", {"candidates": 16})])
         assert hits[0].id == "k-04"
+
+
+class TestInt8Storage:
+    """storage_view("int8"): per-row symmetric quantization, int8 fused
+    scan, exact dequantized rescore of the winners."""
+
+    @pytest.mark.parametrize("metric", ["cosine", "l2", "inner_product"])
+    def test_int8_view_recall(self, metric):
+        n, d = 2048, 64
+        rng = np.random.default_rng(33)
+        data = _corpus(n, d, seed=33)
+        idx = FlatIndex(metric)
+        idx.put_matrix([f"q-{i:04d}" for i in range(n)], data)
+        view = idx.storage_view("int8")
+        qs = data[rng.integers(0, n, 6)] + 0.02 * rng.standard_normal(
+            (6, d)).astype(np.float32)
+        base = idx.search_batch(qs, 10)
+        hits = view.search_batch(qs, 10)
+        for h, b in zip(hits, base):
+            got = {id for id, _ in h}
+            want = {id for id, _ in b}
+            assert len(got & want) >= 8, (metric, got, want)
+        # exact self-hit survives quantization
+        self_hits = view.search_batch(data[:4], 1)
+        assert [h[0][0] for h in self_hits] == [f"q-{i:04d}" for i in range(4)]
+
+    def test_int8_raws_close_to_exact(self):
+        n, d = 1024, 32
+        data = _corpus(n, d, seed=34)
+        idx = FlatIndex("cosine")
+        idx.put_matrix([f"r-{i:04d}" for i in range(n)], data)
+        view = idx.storage_view("int8")
+        base = idx.search(list(data[5]), 5)
+        hits = view.search(list(data[5]), 5)
+        for (bi, br), (hi, hr) in zip(base, hits):
+            if bi == hi:
+                assert abs(br - hr) < 0.05
+
+    def test_int8_requires_fused_configs(self):
+        idx = FlatIndex("manhattan", storage="int8")  # exotic metric
+        idx.put_matrix([f"m-{i}" for i in range(8)],
+                       _corpus(8, 8, seed=35))
+        with pytest.raises(InvalidFlatOptions):
+            idx.search([0.0] * 8, 3)
+
+    def test_widening_view_of_int8_parent_rebuilds(self):
+        n, d = 1024, 16
+        data = _corpus(n, d, seed=36)
+        idx = FlatIndex("l2", storage="int8")
+        idx.put_matrix([f"w-{i:04d}" for i in range(n)], data)
+        f32 = idx.storage_view("f32")
+        hits = f32.search(list(data[3]), 1)
+        assert hits[0][0] == "w-0003"
+        assert abs(hits[0][1]) < 1e-5  # exact f32 raw, not dequantized

@@ -115,6 +115,17 @@ def _validate_row(vector, expected_dim):
     validate_vector(vector)
 
 
+@jax.jit
+def _quantize_int8(x):
+    """Per-row symmetric int8 quantization of a device f32 block:
+    returns (x8 [N, d] int8, scale [N] f32 dequant factors)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1), 1e-30)
+    scale = (absmax / 127.0).astype(jnp.float32)
+    x8 = jnp.clip(jnp.round(xf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return x8, scale
+
+
 class FlatIndex(Index):
     """Exact scan over all stored vectors for one ranking metric."""
 
@@ -124,12 +135,17 @@ class FlatIndex(Index):
         metric = normalize_metric(metric)
         if metric not in METRICS:
             raise UnsupportedFlatMetric(metric)
-        if storage not in ("f32", "bf16"):
+        if storage not in ("f32", "bf16", "int8"):
             raise InvalidFlatOptions(f"unknown storage mode: {storage!r}")
         #: "bf16" stores the device block in bfloat16 and scans with a single
         #: native MXU pass — half the HBM, ~3-6x the matmul rate, raw values
-        #: approximate to ~1e-2. The host mirror stays f32 (canonical).
+        #: approximate to ~1e-2. "int8" stores per-row symmetric-quantized
+        #: values + f32 scales — quarter the HBM, int8 MXU pass, raw values
+        #: approximate to ~1e-2..1e-1; requires fused-eligible configs
+        #: (metric in FUSED_METRICS, limit <= 128). The host mirror stays
+        #: f32 (canonical) in every mode.
         self.storage = storage
+        self._int8_scale = None
         self.metric = metric
         self._dim: int | None = None
         self._cap = 0
@@ -310,7 +326,7 @@ class FlatIndex(Index):
         the device block converts on device (no host→device re-transfer).
         Mutating either index afterwards is undefined; intended for
         benchmarking / serving-time storage experiments."""
-        if storage not in ("f32", "bf16"):
+        if storage not in ("f32", "bf16", "int8"):
             raise InvalidFlatOptions(f"unknown storage mode: {storage!r}")
         view = FlatIndex(self.metric, storage=storage)
         view._dim = self._dim
@@ -322,7 +338,17 @@ class FlatIndex(Index):
         view._free = self._free
         self._sync_device()
         x, valid, lex_order = self._device
-        if storage == "bf16" and x.dtype != jnp.bfloat16:
+        if storage == "int8":
+            if x.dtype == jnp.int8:
+                view._int8_scale = self._int8_scale
+            else:
+                x, view._int8_scale = _quantize_int8(x)
+        elif x.dtype == jnp.int8:
+            # widening views of an int8 parent cannot recover precision from
+            # the quantized block — rebuild from the canonical host mirror
+            view._dirty = True
+            return view
+        elif storage == "bf16" and x.dtype != jnp.bfloat16:
             x = x.astype(jnp.bfloat16)
         elif storage == "f32" and x.dtype != jnp.float32:
             x = x.astype(jnp.float32)
@@ -354,6 +380,8 @@ class FlatIndex(Index):
         device_x = put_f32_matrix(self._host_x)
         if self.storage == "bf16":
             device_x = device_x.astype(jnp.bfloat16)
+        elif self.storage == "int8":
+            device_x, self._int8_scale = _quantize_int8(device_x)
         self._device = (
             device_x,
             jnp.asarray(self._valid),
@@ -374,6 +402,27 @@ class FlatIndex(Index):
 
         return self._cap >= 1024 and flat_scan.supports(self.metric, self._cap, k)
 
+    def _fused_dispatch(self, queries_device, k: int):
+        """Routes to the storage-appropriate fused kernel. Returns
+        (slots, raws, ranks, ok) device arrays."""
+        x, _valid, _lex_order = self._device
+        xsq, bias, lex_rank = self._device_scan
+        if self.storage == "int8":
+            from ..ops.flat_scan import fused_int8_search
+
+            return fused_int8_search(x, self._int8_scale, xsq, bias, lex_rank,
+                                     queries_device, metric=self.metric, k=k)
+        from ..ops.flat_scan import fused_flat_search
+
+        return fused_flat_search(x, xsq, bias, lex_rank, queries_device,
+                                 metric=self.metric, k=k)
+
+    def _require_fused(self, k: int) -> None:
+        if self.storage == "int8":
+            raise InvalidFlatOptions(
+                "int8 storage serves only fused-eligible searches "
+                "(metric in the fused set, limit <= 128, cap >= 1024)")
+
     def search(self, query, limit: int) -> list:
         """Returns up to ``limit`` ``(id, raw)`` hits, best-first with
         deterministic (rank, id) tie-break."""
@@ -387,17 +436,13 @@ class FlatIndex(Index):
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
         if self._fused_eligible(k):
-            from ..ops.flat_scan import fused_flat_search
-
-            xsq, bias, lex_rank = self._device_scan
-            d_slots, d_raws, _d_ranks, d_fin = fused_flat_search(
-                x, xsq, bias, lex_rank, jnp.asarray(q, dtype=jnp.float32)[None, :],
-                metric=self.metric, k=k,
-            )
+            d_slots, d_raws, _d_ranks, d_fin = self._fused_dispatch(
+                jnp.asarray(q, dtype=jnp.float32)[None, :], k)
             packed = np.asarray(_pack_hits(d_slots, d_raws, d_fin))
             slots_b, raws_b, all_finite = _unpack_hits(packed, k)
             slots, raws = slots_b[0], raws_b[0]
         else:
+            self._require_fused(k)
             d_slots, d_raws, _d_ranks, d_fin = _search_kernel(
                 x, valid, lex_order, jnp.asarray(q, dtype=jnp.float32),
                 metric=self.metric, limit=k,
@@ -438,17 +483,13 @@ class FlatIndex(Index):
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
         if self._fused_eligible(k):
-            from ..ops.flat_scan import fused_flat_search
-
-            xsq, bias, lex_rank = self._device_scan
-            d_slots, d_raws, _d_ranks, d_fin = fused_flat_search(
-                x, xsq, bias, lex_rank, jnp.asarray(qs, dtype=jnp.float32),
-                metric=self.metric, k=k,
-            )
+            d_slots, d_raws, _d_ranks, d_fin = self._fused_dispatch(
+                jnp.asarray(qs, dtype=jnp.float32), k)
             packed = np.asarray(_pack_hits(d_slots, d_raws, d_fin))
             slots, raws, fin = _unpack_hits(packed, k)
             all_finite = np.repeat(fin, qs.shape[0])
         else:
+            self._require_fused(k)
             d_slots, d_raws, _d_ranks, d_fin_rows = _search_kernel_batch(
                 x, valid, lex_order, jnp.asarray(qs, dtype=jnp.float32),
                 metric=self.metric, limit=k,
@@ -478,13 +519,9 @@ class FlatIndex(Index):
         x, valid, lex_order = self._device
         k = bucket_limit(min(limit, max(len(self._slot_of), 1)), self._cap)
         if self._fused_eligible(k):
-            from ..ops.flat_scan import fused_flat_search
-
-            xsq, bias, lex_rank = self._device_scan
-            slots, raws, _ranks, _fin = fused_flat_search(
-                x, xsq, bias, lex_rank, queries_device, metric=self.metric, k=k,
-            )
+            slots, raws, _ranks, _fin = self._fused_dispatch(queries_device, k)
             return slots, raws
+        self._require_fused(k)
         slots, raws, _ranks, _fin = _search_kernel_batch(
             x, valid, lex_order, queries_device, metric=self.metric, limit=k
         )
@@ -498,13 +535,9 @@ class FlatIndex(Index):
         x, valid, lex_order = self._device
         k = bucket_limit(min(count, max(len(self._slot_of), 1)), self._cap)
         if self._fused_eligible(k):
-            from ..ops.flat_scan import fused_flat_search
-
-            xsq, bias, lex_rank = self._device_scan
-            slots, _raws, ranks, _fin = fused_flat_search(
-                x, xsq, bias, lex_rank, queries_device, metric=self.metric, k=k,
-            )
+            slots, _raws, ranks, _fin = self._fused_dispatch(queries_device, k)
         else:
+            self._require_fused(k)
             slots, _raws, ranks, _fin = _search_kernel_batch(
                 x, valid, lex_order, queries_device, metric=self.metric, limit=k
             )
