@@ -256,3 +256,34 @@ def test_expand_w_option_validation_and_search():
     for bad in (0, -1, 257, "x"):
         with pytest.raises(InvalidHnswOptions):
             HnswIndex("l2", {"expand_w": bad})
+
+
+def test_greedy_descent_without_hub_seeding():
+    """The hub-less branch (greedy upper-layer descent, hnsw.rs:302-372)
+    must find the same neighbors as the hub-seeded default."""
+    import numpy as np
+
+    from vettore_tpu.index import hnsw_device
+    from vettore_tpu.index.hnsw import HnswIndex
+
+    rng = np.random.default_rng(41)
+    data = rng.standard_normal((256, 16)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    idx = HnswIndex("cosine", {"ef_search": 32})
+    idx.put_many([(f"g-{i:03d}", data[i]) for i in range(256)])
+    hub_hits = hnsw_device.search(idx, data[:6], 5)
+
+    graph = idx._device
+    import jax.numpy as jnp
+
+    ids, raws, _d = hnsw_device._search_kernel(
+        graph.x, graph.a0, graph.up_index, graph.up_adj, graph.lex_rank,
+        graph.entry_slot, graph.entry_level, jnp.asarray(data[:6]),
+        metric=graph.metric, lmax=graph.lmax, ef=32, limit=5,
+        max_steps=hnsw_device.step_bound(32), xb=graph.xb,
+        hub_slots=None, hub_x=None)
+    for b in range(6):
+        greedy = [graph.ids[s] for s in np.asarray(ids)[b] if s >= 0]
+        hubbed = [id for id, _ in hub_hits[b]]
+        assert greedy[0] == hubbed[0] == f"g-{b:03d}"
+        assert len(set(greedy) & set(hubbed)) >= 4
