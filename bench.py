@@ -442,6 +442,7 @@ def main():
             }
             _phase(f"flat bf16 {detail['flat_bf16']}")
             del flat16  # frees the 1.5 GB bf16 block before the HNSW build
+            _promote_headline(detail, n, d)
         except Exception as exc:
             detail["skipped"].append(f"flat_bf16_error:{type(exc).__name__}")
             _phase(f"flat bf16 failed: {exc}")
@@ -508,10 +509,12 @@ def main():
         detail["ef_search"] = used_ef
         detail["recall_gate"] = "pass" if hnsw_recall >= RECALL_GATE else "ef_sweep_exhausted"
         _phase(f"hnsw {hnsw_qps:.0f} qps at ef={used_ef} (recall {hnsw_recall:.4f})")
+        detail["hnsw_qps"] = round(hnsw_qps, 1)
         STATE.update({
             "metric": f"hnsw_qps_at_recall10>={RECALL_GATE}_{n}x{d}_cosine",
             "value": round(hnsw_qps, 1),
         })
+        _promote_headline(detail, n, d)
 
     # ---- CPU single-core baseline (the vs_baseline denominator) — cached
     # (prime builds it), and BEFORE the adaptive modes so vs_baseline
@@ -590,6 +593,7 @@ def main():
             _phase(f"funnel {detail['funnel']}")
             col.close()
             del col, cache
+            _promote_headline(detail, n, d)
         except Exception as exc:
             detail["skipped"].append(f"adaptive_modes_error:{type(exc).__name__}")
             _phase(f"adaptive modes failed: {exc}")
@@ -623,7 +627,9 @@ def main():
             detail["skipped"].append(f"config1_error:{type(exc).__name__}")
 
     # ---- hybrid -> MaxSim -> MMR (config 5) on the multi-vector corpus
-    if not headline_only and not smoke and (prime or left() > 110):
+    # (the full phase costs ~250-320 s: MV ingest + graph load + batched
+    # hybrid/MMR/exact-MaxSim runs — gate on what it actually needs)
+    if not headline_only and not smoke and (prime or left() > 300):
         try:
             run_hybrid_mv(detail, n, prime)
         except Exception as exc:
@@ -646,17 +652,29 @@ def main():
         except Exception:
             pass
 
-    # ---- headline: the BASELINE north star is recall@10 parity (>= 0.95 vs
-    # the exact scan) at maximum QPS — report the fastest qualifying mode,
-    # whichever it is (on one v5e the bf16 MXU scan outruns the graph at 1M)
+    _promote_headline(detail, n, d)
+
+    # vs_baseline was computed before the adaptive modes; refresh the ratio
+    # in case the headline metric changed since
+    if detail.get("cpu_single_core_exact_qps"):
+        STATE["vs_baseline"] = round(
+            STATE["value"] / detail["cpu_single_core_exact_qps"], 2)
+
+    emit(final=True)
+
+
+def _promote_headline(detail, n, d):
+    """Headline: the BASELINE north star is recall@10 parity (>= 0.95 vs
+    the exact scan) at maximum QPS — report the fastest qualifying mode,
+    whichever it is (on one v5e the bf16 MXU scan outruns the graph at 1M).
+    Called after EVERY measured mode so an alarm mid-run still emits the
+    best number recorded so far, and again at the end."""
     contenders = [("flat_exact_f32", detail.get("flat_exact_qps"), 1.0)]
     if "flat_bf16" in detail:
         contenders.append(("flat_bf16", detail["flat_bf16"]["qps"],
                            detail["flat_bf16"]["overlap_at_10"]))
-    if detail.get("recall_at_10") is not None and "hnsw" in detail:
-        contenders.append(("hnsw", STATE["value"]
-                           if STATE["metric"].startswith("hnsw") else None,
-                           detail["recall_at_10"]))
+    if detail.get("recall_at_10") is not None and detail.get("hnsw_qps"):
+        contenders.append(("hnsw", detail["hnsw_qps"], detail["recall_at_10"]))
     for mode in ("quantized", "funnel"):
         if mode in detail:
             contenders.append((mode, detail[mode]["qps"],
@@ -666,19 +684,13 @@ def main():
         key=lambda c: c[1], default=None)
     if best is not None and best[1] > STATE["value"]:
         detail["headline_mode"] = best[0]
-        detail["hnsw_qps"] = STATE["value"] if STATE["metric"].startswith("hnsw") else None
         STATE.update({
             "metric": f"best_qps_at_recall10>={RECALL_GATE}_{n}x{d}_cosine",
             "value": round(best[1], 1),
         })
-
-    # vs_baseline was computed before the adaptive modes; refresh the ratio
-    # in case the headline metric changed since
-    if detail.get("cpu_single_core_exact_qps"):
-        STATE["vs_baseline"] = round(
-            STATE["value"] / detail["cpu_single_core_exact_qps"], 2)
-
-    emit(final=True)
+        if detail.get("cpu_single_core_exact_qps"):
+            STATE["vs_baseline"] = round(
+                STATE["value"] / detail["cpu_single_core_exact_qps"], 2)
 
 
 def mv_caches(n):

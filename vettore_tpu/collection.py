@@ -921,10 +921,12 @@ class Collection:
         normalized = normalize_rows(
             tokens.reshape(n * t, d), self.normalize
         ).reshape(n, t, d)
-        # mean in f64 over the normalized tokens — byte parity with
+        # mean accumulated in f64 straight off the f32 block (np.mean
+        # upcasts per element — identical values to astype(f64).mean()
+        # without the 2x-size intermediate copy); byte parity with
         # _prepare_batch_multi / _prepare_one
         primary = normalize_rows(
-            normalized.astype(np.float64).mean(axis=1), self.normalize
+            normalized.mean(axis=1, dtype=np.float64), self.normalize
         )
         packed = pack_signs_u64_rows(primary)
         prepared = [

@@ -263,8 +263,10 @@ def normalize_rows(matrix: np.ndarray, method: str) -> np.ndarray:
     for s in range(0, n, step):
         c = np.asarray(m[s : s + step], dtype=np.float64)
         if method == "l2":
+            # np.sum keeps the pairwise summation order (einsum is ~1 ulp
+            # different); the divide reuses c — one fewer f64-sized temp
             key = np.sqrt(np.sum(c * c, axis=1, keepdims=True))
-            r = c / np.where(key == 0.0, 1.0, key)
+            r = np.divide(c, np.where(key == 0.0, 1.0, key), out=c)
         elif method == "zscore":
             mean = np.mean(c, axis=1, keepdims=True)
             key = np.sqrt(np.mean((c - mean) ** 2, axis=1, keepdims=True))
