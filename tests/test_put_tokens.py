@@ -149,3 +149,56 @@ def test_device_batch_apis_match_sync():
         prepared, limit=5, candidates=50, stages=[8, 16, 24]))
     assert [[(r.id, r.score) for r in row] for row in sync_f] == [
         [(r.id, r.score) for r in row] for row in dev_f]
+
+
+def test_results_from_device_marks_not_ok_rows():
+    """Rows whose ok flag is False hydrate to None (the sync APIs reroute
+    those to the host oracle; device-API callers own that decision)."""
+    import jax.numpy as jnp
+
+    n, d = 128, 8
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    col = Collection(name="nok", dimensions=d, metric="cosine", index="flat")
+    col.put_matrix([f"n-{i:03d}" for i in range(n)], data)
+    out = col.quantized_search_batch_device(
+        jnp.asarray(data[:3]), limit=4, candidates=16)
+    top, raws, ranks, ok = out
+    fake_ok = jnp.asarray([True, False, True])
+    rows = col.results_from_device((top, raws, ranks, fake_ok))
+    assert rows[1] is None
+    assert rows[0] is not None and rows[0][0].id == "n-000"
+    assert rows[2] is not None and rows[2][0].id == "n-002"
+
+
+def test_device_batch_apis_on_mesh():
+    """Device batch APIs route through the sharded pipelines on a mesh
+    collection and agree with the sync APIs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "shard"))
+    n, d = 256, 16
+    data = np.random.default_rng(9).standard_normal((n, d)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    col = Collection(name="mdev", dimensions=d, metric="cosine", index="flat",
+                     mesh=mesh)
+    col.put_matrix([f"m-{i:03d}" for i in range(n)], data)
+    queries = data[:4]  # multiple of the data axis
+    prepared = jnp.asarray(np.stack(
+        [col.prepare_query(list(q)) for q in queries]).astype(np.float32))
+
+    sync_q = col.quantized_search_batch(queries, limit=3, candidates=16)
+    dev_q = col.results_from_device(col.quantized_search_batch_device(
+        prepared, limit=3, candidates=16))
+    assert [[r.id for r in row] for row in sync_q] == [
+        [r.id for r in row] for row in dev_q]
+
+    sync_f = col.funnel_search_batch(queries, limit=3, candidates=16,
+                                     stages=[8, 16])
+    dev_f = col.results_from_device(col.funnel_search_batch_device(
+        prepared, limit=3, candidates=16, stages=[8, 16]))
+    assert [[r.id for r in row] for row in sync_f] == [
+        [r.id for r in row] for row in dev_f]
