@@ -217,6 +217,23 @@ class TestFusedGroupScan:
         res = index.search_batch(np.array([[2.0, -2.0]]), 4)
         assert dict(res[0]).get("big") == 0.0
 
+    def test_deleted_overflow_row_stays_on_device(self, monkeypatch):
+        # the fused scan encodes overflow as -inf group minima; a deleted
+        # row's stale data must not alias it — delete zeroes the slot, so
+        # the search stays on device (no host-oracle stampede)
+        F32_MAX = 3.4028234663852886e38
+        rng = np.random.default_rng(5)
+        index = FlatIndex("inner_product")
+        index.put_many((f"p{i:04d}", row)
+                       for i, row in enumerate(rng.normal(size=(1100, 4)).astype(np.float32)))
+        index.put("big", [F32_MAX, F32_MAX, F32_MAX, F32_MAX])
+        index.delete("big")
+        assert not index._host_x[index._valid == False].any()  # noqa: E712
+        monkeypatch.setattr(index, "_host_search",
+                            lambda *a, **k: pytest.fail("fell back to host"))
+        res = index.search_batch(rng.normal(size=(3, 4)), 5)
+        assert all(len(r) == 5 for r in res) and "big" not in dict(res[0])
+
 
 class TestOverflowRecovery:
     def test_recoverable(self):

@@ -284,6 +284,10 @@ class FlatIndex(Index):
         slot = self._slot_of.pop(id, None)
         if slot is None:
             return
+        # zero the dead row: the fused scan encodes overflow as -inf group
+        # minima, so invalid slots must never rank nonfinite — all-zero rows
+        # (like never-used capacity) rank finite under every fused metric
+        self._host_x[slot, :] = 0.0
         self._valid[slot] = False
         self._ids[slot] = None
         self._free.append(slot)

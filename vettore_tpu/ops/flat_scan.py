@@ -7,9 +7,13 @@ matrix in HBM (2 GB at 1M x 512) just to reduce it to per-group minima; the
 Pallas pipeline keeps scores in VMEM end to end:
 
 * **pass 1** (``_gmin_scan``): grid over row tiles — MXU matmul, rank
-  conversion, overflow detection, and a 64-row group-min, all in VMEM; only
-  ``[N/64, B]`` group minima (32 MB) reach HBM. Measured 11.1 ms/batch at
-  1M x 768 bf16, batch 512 (vs 21.9 ms for the bare XLA matmul alone).
+  conversion, and a 64-row group-min, all in VMEM; only ``[N/64, B]`` group
+  minima (32 MB) reach HBM. Overflow detection rides the same output: a
+  nonfinite rank becomes ``-inf`` (dead slots are zeroed, so only live-row
+  overflow can produce one) and is spotted by one cheap reduce over the
+  group minima — the per-element flag reduce this replaced cost 2.2 ms.
+  Measured 8.9 ms/batch at 1M x 768 bf16, batch 512 (vs 21.9 ms for the
+  bare XLA matmul alone; a flagless kernel floors at 8.4).
 * **group selection** (XLA): ``top_k`` of ``k + slack`` groups per query,
   exact by the order-statistic bound — the k smallest group-mins are k
   distinct elements, so any group whose min exceeds the k-th smallest
@@ -24,12 +28,12 @@ Pallas pipeline keeps scores in VMEM end to end:
   provable without the full candidate sort), falling back to the host
   oracle like overflow does.
 
-Measured on 1M x 768 cosine, batch 512 (TPU v5e): 44 ms/batch f32-HIGHEST
-(11.6k QPS; the HIGHEST-precision matmul alone measures 33 ms — the f32
-exact path is compute-bound at ~75% of its matmul roofline) and 23 ms bf16
-storage (22.2k QPS) — vs 50/34 ms for the XLA formulation and 208 ms for
-the round-2 k-pass tile kernel. ``VETTORE_FLAT_IMPL=xla`` forces the XLA
-path; shapes whose working set exceeds the VMEM budget fall back to it
+Measured on 1M x 768 cosine, batch 512 (TPU v5e): 35 ms/batch f32-HIGHEST
+(14.6k QPS; the HIGHEST-precision matmul alone measures 33 ms — the f32
+exact path is compute-bound at ~94% of its matmul roofline) and 14.1 ms
+bf16 storage (36.2k QPS) — vs 50/34 ms for the XLA formulation and 208 ms
+for the round-2 k-pass tile kernel. ``VETTORE_FLAT_IMPL=xla`` forces the
+XLA path; shapes whose working set exceeds the VMEM budget fall back to it
 automatically.
 """
 
@@ -96,7 +100,7 @@ def _pick_row_tile(n: int, d: int, b: int, itemsize: int, tb_factor=2.5):
 # ---------------------------------------------------------------------------
 
 
-def _gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref, gmin_ref, flag_ref,
+def _gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref, gmin_ref,
                *, metric, fast):
     dots = jnp.dot(
         x_ref[:], qt_ref[:],
@@ -108,21 +112,22 @@ def _gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref, gmin_ref, flag_ref,
         rank = -dots
     else:  # l2 / l2_squared on squared distance (monotonic in true rank)
         rank = xsq_ref[:] - 2.0 * dots + qsq_ref[:]
-    # overflow on the FULL rank expression for valid rows (distances.rs:59-98
-    # recovers per-pair in f64 on the host path)
-    nonfinite = jnp.logical_not(jnp.isfinite(rank))
-    valid = bias_ref[:] == 0.0
-    flag_ref[0, 0, :] = jnp.broadcast_to(
-        jnp.any(nonfinite & valid).astype(jnp.int32), flag_ref.shape[2:])
-    rank = rank + bias_ref[:]
-    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
+    # overflow rides the group-min output: a nonfinite rank (distances.rs:59-98
+    # recovers per-pair in f64 on the host path) becomes -inf, which the min
+    # carries to the tiny [N/G, B] result — no per-element flag reduce in the
+    # epilogue. Invalid rows go to +inf via bias; they can never produce a
+    # nonfinite rank because the flat index keeps dead slots zeroed (finite
+    # data in, finite rank out for every metric here).
+    rank = jnp.where(jnp.isfinite(rank), rank + bias_ref[:], -jnp.inf)
     t, b = rank.shape
     gmin_ref[:] = jnp.min(rank.reshape(t // GROUP, GROUP, b), axis=1)
 
 
 def _gmin_scan(x, xsq, bias, q, *, metric, row_tile):
     """Group minima of the rank matrix: ``[B, N/GROUP]`` f32 plus a scalar
-    all-finite flag — the full ``[B, N]`` never leaves VMEM."""
+    all-finite flag — the full ``[B, N]`` never leaves VMEM. Overflowed
+    entries surface as ``-inf`` group minima (see ``_gmin_body``); the flag
+    is one cheap reduce over the [N/G, B] output."""
     n, d = x.shape
     b = q.shape[0]
     fast = x.dtype == jnp.bfloat16
@@ -130,7 +135,7 @@ def _gmin_scan(x, xsq, bias, q, *, metric, row_tile):
     qt = (q.astype(jnp.bfloat16) if fast else q).T  # one transpose per batch
     tiles = n // row_tile
     kernel = functools.partial(_gmin_body, metric=metric, fast=fast)
-    gmin, flags = pl.pallas_call(
+    gmin = pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=[
@@ -140,14 +145,8 @@ def _gmin_scan(x, xsq, bias, q, *, metric, row_tile):
             pl.BlockSpec((d, b), lambda i: (0, 0)),
             pl.BlockSpec((1, b), lambda i: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((row_tile // GROUP, b), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n // GROUP, b), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, b), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((row_tile // GROUP, b), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // GROUP, b), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * d * b,
             bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n // GROUP * b * 4,
@@ -155,7 +154,7 @@ def _gmin_scan(x, xsq, bias, q, *, metric, row_tile):
         ),
         interpret=jax.default_backend() == "cpu",
     )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qt, qsq)
-    return gmin.T, jnp.sum(flags) == 0
+    return gmin.T, jnp.logical_not(jnp.any(jnp.isneginf(gmin)))
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +223,10 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
 
     ``x`` [N, d] (f32 or bf16 storage), ``xsq`` [N, 1] f32 squared norms,
     ``bias`` [N, 1] f32 (0 valid / +inf invalid), ``lex_rank`` [N] int32
-    lexicographic id ranks, ``q`` [B, d] f32 queries.
+    lexicographic id ranks, ``q`` [B, d] f32 queries. Invalid rows of ``x``
+    must be all-zero (the flat index zeroes dead slots): pass 1 encodes
+    overflow as -inf group minima, and a stale nonfinite rank on a dead row
+    would alias it.
 
     Returns ``(slots [B, k] i32, raws [B, k] f32, ranks [B, k] f32, ok)``
     best-first with (rank, lex id) tie-break; ``ok`` False means overflow or
@@ -334,16 +336,14 @@ def _stage_rank(dots, xsq, qsq, *, metric):
 
 
 def _stage_gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref,
-                     gmin_ref, flag_ref, rank_ref, *, metric):
+                     gmin_ref, rank_ref, *, metric):
     dots = jnp.dot(x_ref[:], qt_ref[:], preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)  # [T, B]
     rank = _stage_rank(dots, xsq_ref[:], qsq_ref[:], metric=metric)
-    nonfinite = jnp.logical_not(jnp.isfinite(rank))
-    valid = bias_ref[:] == 0.0
-    flag_ref[0, 0, :] = jnp.broadcast_to(
-        jnp.any(nonfinite & valid).astype(jnp.int32), flag_ref.shape[2:])
-    rank = rank + bias_ref[:]
-    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
+    # overflow encoding as _gmin_body: nonfinite rank -> -inf rides the
+    # group-min output (dead slots are zeroed by the flat index, so invalid
+    # rows always rank finite and land on +inf via bias)
+    rank = jnp.where(jnp.isfinite(rank), rank + bias_ref[:], -jnp.inf)
     t, b = rank.shape
     gmin_ref[:] = jnp.min(rank.reshape(t // GROUP, GROUP, b), axis=1)
     # the full rank tile leaves VMEM transposed to [B, T]: downstream
@@ -365,7 +365,7 @@ def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
     qt = qp.T
     tiles = n // row_tile
     kernel = functools.partial(_stage_gmin_body, metric=metric)
-    gmin, flags, rank = pl.pallas_call(
+    gmin, rank = pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=[
@@ -377,12 +377,10 @@ def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
         ],
         out_specs=[
             pl.BlockSpec((row_tile // GROUP, b), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0)),
             pl.BlockSpec((b, row_tile), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n // GROUP, b), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, 1, b), jnp.int32),
             jax.ShapeDtypeStruct((b, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -393,7 +391,7 @@ def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
         ),
         interpret=jax.default_backend() == "cpu",
     )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qt, qsq)
-    return gmin.T, rank, jnp.sum(flags) == 0
+    return gmin.T, rank, jnp.logical_not(jnp.any(jnp.isneginf(gmin)))
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "count", "dims"))

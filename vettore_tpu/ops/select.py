@@ -62,6 +62,17 @@ def group_topk(gmin, gsel, check_c=None):
     GROUP_SLACK absorbs them. ``check_c=None`` skips the check (ok True) —
     for callers that verify exactness themselves."""
     b, ng = gmin.shape
+    if ng % 8 and ng > _DIRECT_TOPK:
+        # +inf-pad to the next multiple of 8: the descent path is ~18 ms/batch
+        # cheaper than the direct bitonic top_k at [512, 15625]-class shapes.
+        # A pad can only be selected when a row has fewer than gsel finite
+        # groups; clamping would duplicate a real group in the selection, so
+        # such rows flag ok=False (host-oracle fallback) instead.
+        pad = (-ng) % 8
+        gmin = jnp.pad(gmin, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        vals, idx, ok = group_topk(gmin, gsel, check_c=check_c)
+        ok = ok & jnp.all(idx < ng, axis=1)
+        return vals, jnp.minimum(idx, ng - 1), ok
     if ng % 8 == 0 and ng // 8 > gsel + SLACK and ng > _DIRECT_TOPK:
         sup = gmin.reshape(b, ng // 8, 8)
         smin = jnp.min(sup, axis=2)
