@@ -29,9 +29,11 @@ Operational design (this runtime's physics dictate all of it):
 * **Fetch barriers**: ``jax.block_until_ready`` does not block here and
   compilation defers until a value is demanded; every warmup and timed
   region ends with ``fetch_barrier`` (tiny dependent-slice device_get).
-* Timed dispatches rotate query slices so no functional caching or result
-  reuse can inflate QPS; latency percentiles come from a separate
-  serialized (fetch-per-dispatch) loop.
+* Timed dispatches rotate over PRE-STAGED query blocks (``staged_slices``:
+  materialized before the timed region — the eager per-iteration slice
+  dispatch cost 1-2 ms host-side, ~10% of bf16 QPS) so no functional
+  caching or result reuse can inflate QPS; latency percentiles come from a
+  separate serialized (fetch-per-dispatch) loop.
 
 Run: python bench.py                   (headline scale by cache/budget)
      python bench.py --scale=100k|300k|1m
@@ -230,6 +232,23 @@ def timed_qps(dispatch, iters, per_iter_queries):
     return per_iter_queries * iters / (time.perf_counter() - t0)
 
 
+def staged_slices(qdev, batch, count=8, stride=37):
+    """Pre-staged rotating query blocks for the timed loops. Slicing with an
+    eager ``dynamic_slice`` used to happen INSIDE the timed region — a
+    1-2 ms host-side dispatch per iteration, comparable to the fused bf16
+    kernel time itself at 1M — so QPS under-read by ~10%. Staging the blocks
+    first leaves only the search dispatch in the loop; inputs still rotate
+    (distinct blocks per iteration) so no result reuse can skip work."""
+    import jax
+    from vettore_tpu.ops.transport import fetch_barrier
+
+    top = max(1, qdev.shape[0] - batch + 1)
+    blocks = [jax.lax.dynamic_slice_in_dim(qdev, (i * stride) % top, batch)
+              for i in range(count)]
+    fetch_barrier(blocks[-1])
+    return blocks
+
+
 def timed_percentiles(dispatch, iters=10):
     """Serialized per-dispatch latency (fetch barrier each iteration):
     returns {p50_ms, p99_ms} over ``iters`` dispatches."""
@@ -415,12 +434,12 @@ def main():
     truth = flat.search_batch(queries[:q_count], 10)
     qdev = jnp.asarray(queries.astype(np.float32))
 
-    def flat_dispatch(i, index=flat):
-        s = (i * 37) % max(1, qdev.shape[0] - batch + 1)
-        return index.search_batch_device(
-            jax.lax.dynamic_slice_in_dim(qdev, s, batch), 10)
+    qslices = staged_slices(qdev, batch)
 
-    detail["flat_exact_qps"] = round(timed_qps(flat_dispatch, 8, batch), 1)
+    def flat_dispatch(i, index=flat):
+        return index.search_batch_device(qslices[i % len(qslices)], 10)
+
+    detail["flat_exact_qps"] = round(timed_qps(flat_dispatch, 24, batch), 1)
     detail["flat_exact"] = timed_percentiles(flat_dispatch)
     _phase(f"flat f32 {detail['flat_exact_qps']} qps {detail['flat_exact']}")
 
@@ -436,7 +455,7 @@ def main():
             flat16 = flat.storage_view("bf16")
             hits16 = flat16.search_batch(queries[:q_count], 10)
             detail["flat_bf16"] = {
-                "qps": round(timed_qps(lambda i: flat_dispatch(i, flat16), 8, batch), 1),
+                "qps": round(timed_qps(lambda i: flat_dispatch(i, flat16), 24, batch), 1),
                 "overlap_at_10": round(overlap_at_k(hits16, truth), 4),
                 **timed_percentiles(lambda i: flat_dispatch(i, flat16)),
             }
@@ -496,11 +515,10 @@ def main():
             _phase(f"  ef={ef}: recall@10={r:.4f}")
             if r >= RECALL_GATE or ef == EF_SWEEP[-1] or left() < 120:
                 def hnsw_dispatch(i):
-                    s = (i * 37) % max(1, qdev.shape[0] - batch + 1)
                     return hnsw.search_batch_device(
-                        jax.lax.dynamic_slice_in_dim(qdev, s, batch), 10)
+                        qslices[i % len(qslices)], 10)
 
-                qps = timed_qps(hnsw_dispatch, 6, batch)
+                qps = timed_qps(hnsw_dispatch, 12, batch)
                 detail["hnsw"] = timed_percentiles(hnsw_dispatch, 8)
                 hnsw_qps, hnsw_recall, used_ef = qps, r, ef
                 if r >= RECALL_GATE or left() < 120:
@@ -555,13 +573,11 @@ def main():
 
             # QPS through the device-to-device serving path (pipelined, like
             # the flat/hnsw numbers); sync-API latency reported separately
-            def quant_dispatch_dev(i, b=batch):
-                s = (i * 37) % max(1, qdev.shape[0] - b + 1)
+            def quant_dispatch_dev(i):
                 return col.quantized_search_batch_device(
-                    jax.lax.dynamic_slice_in_dim(qdev, s, b), limit=10,
-                    candidates=cand)
+                    qslices[i % len(qslices)], limit=10, candidates=cand)
 
-            q_qps = timed_qps(quant_dispatch_dev, 6, batch)
+            q_qps = timed_qps(quant_dispatch_dev, 12, batch)
             detail["quantized"] = {"qps": round(q_qps, 1), "candidates": cand,
                                    "overlap_at_10": round(q_overlap, 4),
                                    **timed_sync_percentiles(quant_dispatch)}
@@ -579,13 +595,12 @@ def main():
                 return col.funnel_search_batch(queries[s:s + b], limit=10,
                                                candidates=fcand, stages=list(stages))
 
-            def fun_dispatch_dev(i, b=batch):
-                s = (i * 37) % max(1, qdev.shape[0] - b + 1)
+            def fun_dispatch_dev(i):
                 return col.funnel_search_batch_device(
-                    jax.lax.dynamic_slice_in_dim(qdev, s, b), limit=10,
+                    qslices[i % len(qslices)], limit=10,
                     candidates=fcand, stages=list(stages))
 
-            f_qps = timed_qps(fun_dispatch_dev, 6, batch)
+            f_qps = timed_qps(fun_dispatch_dev, 12, batch)
             detail["funnel"] = {"qps": round(f_qps, 1), "stages": list(stages),
                                 "candidates": fcand,
                                 "overlap_at_10": round(f_overlap, 4),
@@ -612,17 +627,17 @@ def main():
             f1.put_matrix([f"c1-{i:06d}" for i in range(100_000)], data1)
             q1dev = jnp.asarray(q1.astype(np.float32))
 
+            q1slices = staged_slices(q1dev, batch)
+
             def c1_dispatch(i):
-                s = (i * 37) % max(1, q1dev.shape[0] - batch + 1)
-                return f1.search_batch_device(
-                    jax.lax.dynamic_slice_in_dim(q1dev, s, batch), 10)
+                return f1.search_batch_device(q1slices[i % len(q1slices)], 10)
 
             detail["flat_100k_384"] = {
-                "qps": round(timed_qps(c1_dispatch, 8, batch), 1),
+                "qps": round(timed_qps(c1_dispatch, 24, batch), 1),
                 **timed_percentiles(c1_dispatch),
             }
             _phase(f"flat 100k {detail['flat_100k_384']}")
-            del f1, q1dev
+            del f1, q1dev, q1slices
         except Exception as exc:
             detail["skipped"].append(f"config1_error:{type(exc).__name__}")
 
