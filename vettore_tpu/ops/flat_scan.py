@@ -422,10 +422,25 @@ def fused_stage_candidates(x, xsq, bias, q, *, metric, count, dims):
                                               dims=dims, row_tile=row_tile)
     ng = n // GROUP
     gsel = min(count + GROUP_SLACK, ng)
-    gtop, gidx, spill_ok = select.group_topk(gmin, gsel, check_c=count)
-    cand = jnp.take_along_axis(
-        rank.reshape(b, ng, GROUP), gidx[:, :, None], axis=1
-    ).reshape(b, gsel * GROUP)
+    _gtop, gidx, spill_ok = select.group_topk(gmin, gsel, check_c=count)
+    # group_topk may return +inf-pad indices (>= ng) when a row has fewer
+    # than gsel finite groups — those rows flag spill_ok False and fall
+    # back, but the extraction kernel needs in-range indices
+    gidx = jnp.minimum(gidx, ng - 1)
+    pair = 2 * GROUP  # 128-lane extraction rows (lane-complete blocks)
+    if n % pair == 0:
+        # covered 64-slot group rows extract as HALF rows of the pair-layout
+        # (128-lane) view with the query's rank row VMEM-resident — XLA's
+        # row-gather costs ~55 ns/row against HBM-scale sources. Selection
+        # stays at 64-group granularity: pair-granularity selection doubles
+        # the downstream element width and loses more than extraction saves.
+        cand = extract_group_rows(
+            rank.reshape(b, n // pair, pair), gidx, half=True
+        ).reshape(b, gsel * GROUP)
+    else:
+        cand = jnp.take_along_axis(
+            rank.reshape(b, ng, GROUP), gidx[:, :, None], axis=1
+        ).reshape(b, gsel * GROUP)
     cand_slots = (
         gidx[:, :, None] * GROUP
         + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
@@ -664,6 +679,117 @@ def fused_int8_search(x8, scale, xsq, bias, lex_rank, q, *, metric, k):
         if metric == "cosine":
             top_rank = jnp.where(jnp.isfinite(top_rank), 1.0 - raw, jnp.inf)
     return top_slot, raw, top_rank, spill_ok & tie_ok
+
+
+# ---------------------------------------------------------------------------
+# covered-row extraction: per-query gather of selected 128-lane rows with the
+# source row resident in VMEM (XLA's row-gather costs ~55 ns/row against
+# HBM-scale sources — 14.3 ms for 512 x 508 rows of a 1 GB matrix; streaming
+# each query's full row through VMEM and extracting with sublane dynamic
+# slices runs at the HBM sweep rate instead)
+# ---------------------------------------------------------------------------
+
+#: VMEM ceiling for the extraction kernel's double-buffered source row
+_EXTRACT_VMEM = 12 * 2**20
+
+
+def supports_extract(rows: int, lanes: int, itemsize: int) -> bool:
+    """Whether the Pallas row extraction handles a [B, rows, lanes] source
+    (lane-complete last dim; 8-sublane-aligned loads need rows % 8;
+    double-buffered source row must fit VMEM)."""
+    return (
+        lanes % 128 == 0
+        and rows % 8 == 0
+        and 2 * rows * lanes * itemsize <= _EXTRACT_VMEM
+    )
+
+
+def _extract_body(gidx_ref, mat_ref, out_ref, *, gsel, half):
+    # Mosaic requires dynamic sublane indices provably 8-aligned: each
+    # iteration loads the aligned 8-row window holding the target row,
+    # rotates the target into place (tpu.dynamic_rotate takes traced
+    # shifts), merges 8 targets in registers, and stores one aligned
+    # 8-row output window. In ``half`` mode indices address 64-element
+    # half rows: the odd half reaches lanes 0..63 via a STATIC 64-lane
+    # rotate (dynamic lane indexing is not expressible).
+    lanes = mat_ref.shape[2]
+    out_lanes = out_ref.shape[2]
+    idx8 = jax.lax.broadcasted_iota(jnp.int32, (8, out_lanes), 0)
+
+    # tpu.dynamic_rotate only handles 32-bit lanes: narrow dtypes widen per
+    # 8-row window (VPU noise next to the DMA) and narrow back at the store
+    narrow = out_ref.dtype.itemsize < 4
+    wide = jnp.int32 if jnp.issubdtype(out_ref.dtype, jnp.integer) else jnp.float32
+
+    def step(c8, carry):
+        base = c8 * 8
+        acc = jnp.zeros((8, out_lanes), wide if narrow else out_ref.dtype)
+        for j in range(8):
+            g = gidx_ref[0, 0, base + j]
+            row = g >> 1 if half else g
+            v = mat_ref[0, pl.ds((row // 8) * 8, 8), :]  # aligned [8, lanes]
+            if narrow:
+                v = v.astype(wide)
+            r = pltpu.roll(v, (j + 8 - row % 8) % 8, 0)  # row row%8 -> row j
+            if half:
+                r = jnp.where((g & 1) == 1, pltpu.roll(r, lanes - 64, 1), r)
+                r = r[:, :64]
+            acc = jnp.where(idx8 == j, r, acc)
+        out_ref[0, pl.ds(base, 8), :] = acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, gsel // 8, step, 0)
+
+
+def extract_group_rows(mat, gidx, *, half=False):
+    """``mat`` [B, R, L] (L a lane-tile multiple), ``gidx`` [B, C] int32 row
+    ids in [0, R). Returns ``[B, C, L]`` — ``out[b, c] = mat[b, gidx[b, c]]``.
+    With ``half=True``, ``gidx`` addresses 64-element HALF rows (virtual row
+    g = row g>>1, half g&1; L must be 128) and the result is [B, C, 64] —
+    how the 64-slot group-cover selections extract from pair-layout blocks
+    without doubling their downstream selection width.
+
+    Grid over queries: each step DMA-streams the query's full [R, L] row
+    block into VMEM once and copies the C selected rows out with sublane
+    dynamic slices — no per-row HBM gather (XLA's costs ~55 ns/row against
+    HBM-scale sources: 14.3 ms for 512 x 508 rows of a 1 GB matrix; this
+    kernel measures 6.9 ms). Callers pre-clamp pad indices (selection masks
+    their values afterwards). Falls back to ``take_along_axis`` when the
+    source row exceeds the VMEM budget."""
+    b, rows, lanes = mat.shape
+    c = gidx.shape[1]
+    if (half and lanes != 128) or not supports_extract(
+            rows, lanes, mat.dtype.itemsize):
+        if half:
+            hview = mat.reshape(b, 2 * rows, lanes // 2)
+            return jnp.take_along_axis(hview, gidx[:, :, None], axis=1)
+        return jnp.take_along_axis(mat, gidx[:, :, None], axis=1)
+    gsel = -(-c // 8) * 8  # 8-row output windows
+    if gsel != c:
+        gidx = jnp.pad(gidx, ((0, 0), (0, gsel - c)))
+    # the index rows ride per-step SMEM blocks (a whole [B, C] i32 matrix
+    # as a prefetched scalar operand overflows the 1 MB SMEM at B = 512);
+    # the singleton middle dim satisfies the (8, 128)-or-full block rule
+    out_lanes = 64 if half else lanes
+    out = pl.pallas_call(
+        functools.partial(_extract_body, gsel=gsel, half=half),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, gsel), lambda i: (i, 0, 0),
+                         memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec((1, rows, lanes), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, gsel, out_lanes), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, gsel, out_lanes), mat.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=(b * rows * lanes + 2 * b * gsel * out_lanes)
+            * mat.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(gidx.reshape(b, 1, gsel), mat)
+    return out[:, :c, :] if gsel != c else out
 
 
 def _fused_xla_search(x, xsq, bias, lex_rank, q, *, metric, k):
