@@ -8,12 +8,11 @@ Pallas pipeline keeps scores in VMEM end to end:
 
 * **pass 1** (``_gmin_scan``): grid over row tiles — MXU matmul, rank
   conversion, and a 64-row group-min, all in VMEM; only ``[N/64, B]`` group
-  minima (32 MB) reach HBM. Overflow detection rides the same output: a
-  nonfinite rank becomes ``-inf`` (dead slots are zeroed, so only live-row
-  overflow can produce one) and is spotted by one cheap reduce over the
-  group minima — the per-element flag reduce this replaced cost 2.2 ms.
-  Measured 8.9 ms/batch at 1M x 768 bf16, batch 512 (vs 21.9 ms for the
-  bare XLA matmul alone; a flagless kernel floors at 8.4).
+  minima (32 MB) reach HBM. The kernel epilogue is exactly two VPU passes
+  (bias add + group min): overflow safety is proven per batch OUTSIDE the
+  kernel by a Cauchy-Schwarz norm bound (queries that could overflow an
+  f32 accumulator flag ``ok=False`` → f64 host oracle), replacing the
+  in-kernel isfinite/select passes that cost nearly as much as the matmul.
 * **group selection** (XLA): ``top_k`` of ``k + slack`` groups per query,
   exact by the order-statistic bound — the k smallest group-mins are k
   distinct elements, so any group whose min exceeds the k-th smallest
@@ -112,26 +111,48 @@ def _gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref, gmin_ref,
         rank = -dots
     else:  # l2 / l2_squared on squared distance (monotonic in true rank)
         rank = xsq_ref[:] - 2.0 * dots + qsq_ref[:]
-    # overflow rides the group-min output: a nonfinite rank (distances.rs:59-98
-    # recovers per-pair in f64 on the host path) becomes -inf, which the min
-    # carries to the tiny [N/G, B] result — no per-element flag reduce in the
-    # epilogue. Invalid rows go to +inf via bias; they can never produce a
-    # nonfinite rank because the flat index keeps dead slots zeroed (finite
-    # data in, finite rank out for every metric here).
-    rank = jnp.where(jnp.isfinite(rank), rank + bias_ref[:], -jnp.inf)
+    # NO per-element finiteness pass here: the epilogue is two VPU passes
+    # (bias add + group min) over [T, B], which matters — isfinite+select
+    # used to cost as much again as the matmul. Overflow safety is proved
+    # OUTSIDE the kernel per query (Cauchy-Schwarz bound in _gmin_scan):
+    # queries whose norm product could overflow an f32 accumulator are
+    # flagged ok=False and re-run on the f64 host oracle
+    # (distances.rs:59-98 posture), so every rank computed here is finite
+    # by construction. Invalid rows go to +inf via bias (dead slots are
+    # zeroed, so their dot is 0 and the +inf survives untouched).
+    rank = rank + bias_ref[:]
     t, b = rank.shape
     gmin_ref[:] = jnp.min(rank.reshape(t // GROUP, GROUP, b), axis=1)
 
 
+#: overflow-proof bound: per-term cap so |xsq| + 2|dot| + |qsq| stays under
+#: f32 max with margin for bf16 rounding and accumulation-order effects
+_SAFE_LIM = 4e37
+_SAFE_LOG = 86.0  # log(2.2e37) >= log(|dot|) bound via Cauchy-Schwarz
+
+
 def _gmin_scan(x, xsq, bias, q, *, metric, row_tile):
     """Group minima of the rank matrix: ``[B, N/GROUP]`` f32 plus a scalar
-    all-finite flag — the full ``[B, N]`` never leaves VMEM. Overflowed
-    entries surface as ``-inf`` group minima (see ``_gmin_body``); the flag
-    is one cheap reduce over the [N/G, B] output."""
+    ``bounded`` flag — the full ``[B, N]`` never leaves VMEM.
+
+    The kernel epilogue carries no finiteness checks (see ``_gmin_body``);
+    instead this wrapper proves per batch that no rank can overflow:
+    every partial sum of ``x_row . q`` is bounded by ``|x_row| * |q|``
+    (Cauchy-Schwarz holds for every prefix), so when
+    ``max_row_norm * max_query_norm`` and the squared-norm terms sit well
+    under f32 max, every intermediate is finite. A batch that fails the
+    bound returns ``bounded=False`` → caller's ok=False → f64 host oracle
+    (the same route the old -inf overflow flag took, minus two VPU passes
+    per tile for the ~always-bounded common case)."""
     n, d = x.shape
     b = q.shape[0]
     fast = x.dtype == jnp.bfloat16
     qsq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)[None, :]  # [1, B]
+    xsq_max = jnp.max(xsq)
+    qlog = 0.5 * jnp.log(jnp.maximum(qsq, 1e-30))
+    xlog = 0.5 * jnp.log(jnp.maximum(xsq_max, 1e-30))
+    bounded = jnp.all(
+        (qsq < _SAFE_LIM) & (xsq_max < _SAFE_LIM) & (qlog + xlog < _SAFE_LOG))
     qt = (q.astype(jnp.bfloat16) if fast else q).T  # one transpose per batch
     tiles = n // row_tile
     kernel = functools.partial(_gmin_body, metric=metric, fast=fast)
@@ -154,7 +175,7 @@ def _gmin_scan(x, xsq, bias, q, *, metric, row_tile):
         ),
         interpret=jax.default_backend() == "cpu",
     )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qt, qsq)
-    return gmin.T, jnp.logical_not(jnp.any(jnp.isneginf(gmin)))
+    return gmin.T, bounded
 
 
 # ---------------------------------------------------------------------------
@@ -224,13 +245,13 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
     ``x`` [N, d] (f32 or bf16 storage), ``xsq`` [N, 1] f32 squared norms,
     ``bias`` [N, 1] f32 (0 valid / +inf invalid), ``lex_rank`` [N] int32
     lexicographic id ranks, ``q`` [B, d] f32 queries. Invalid rows of ``x``
-    must be all-zero (the flat index zeroes dead slots): pass 1 encodes
-    overflow as -inf group minima, and a stale nonfinite rank on a dead row
-    would alias it.
+    must be all-zero (the flat index zeroes dead slots) so their rank is
+    exactly the +inf bias.
 
     Returns ``(slots [B, k] i32, raws [B, k] f32, ranks [B, k] f32, ok)``
-    best-first with (rank, lex id) tie-break; ``ok`` False means overflow or
-    a tie spill — caller must re-run on the host oracle.
+    best-first with (rank, lex id) tie-break; ``ok`` False means the batch
+    failed the overflow-safety norm bound (see ``_gmin_scan``) or a tie
+    spill — caller must re-run on the host oracle.
     """
     n, d = x.shape
     b = q.shape[0]
@@ -240,8 +261,8 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
     if row_tile is None or os.environ.get("VETTORE_FLAT_IMPL") == "xla":
         return _fused_xla_search(x, xsq, bias, lex_rank, q, metric=metric, k=k)
 
-    gmin, all_finite = _gmin_scan(x, xsq, bias, q, metric=metric,
-                                  row_tile=row_tile)
+    gmin, bounded = _gmin_scan(x, xsq, bias, q, metric=metric,
+                               row_tile=row_tile)
     ng = n // GROUP
     gsel = min(k + GROUP_SLACK, ng)
     # tie spill check at the K boundary: every group with min <= m_k must be
@@ -270,7 +291,7 @@ def fused_flat_search(x, xsq, bias, lex_rank, q, *, metric, k):
     top_rank = rank_s[:, :k]
     top_slot = slot_s[:, :k]
     top_slot, raw, top_rank = _finalize(x, q, top_slot, top_rank, metric=metric)
-    return top_slot, raw, top_rank, all_finite & spill_ok & tie_ok
+    return top_slot, raw, top_rank, bounded & spill_ok & tie_ok
 
 
 def _finalize(x, q, top_slot, top_rank, *, metric):
@@ -340,10 +361,12 @@ def _stage_gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref,
     dots = jnp.dot(x_ref[:], qt_ref[:], preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)  # [T, B]
     rank = _stage_rank(dots, xsq_ref[:], qsq_ref[:], metric=metric)
-    # overflow encoding as _gmin_body: nonfinite rank -> -inf rides the
-    # group-min output (dead slots are zeroed by the flat index, so invalid
-    # rows always rank finite and land on +inf via bias)
-    rank = jnp.where(jnp.isfinite(rank), rank + bias_ref[:], -jnp.inf)
+    # overflow posture as _gmin_body: no in-kernel finiteness pass — the
+    # wrapper's Cauchy-Schwarz norm bound proves every rank finite, and
+    # batches that fail the bound route to the host oracle via ok=False
+    # (dead slots are zeroed by the flat index, so invalid rows always rank
+    # finite and land on +inf via bias)
+    rank = rank + bias_ref[:]
     t, b = rank.shape
     gmin_ref[:] = jnp.min(rank.reshape(t // GROUP, GROUP, b), axis=1)
     # the full rank tile leaves VMEM transposed to [B, T]: downstream
@@ -363,6 +386,11 @@ def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
     qp = q[:, :dims].astype(jnp.float32)
     qsq = jnp.sum(qp * qp, axis=1)[None, :]  # [1, B]
     qt = qp.T
+    xsq_max = jnp.max(xsq)
+    qlog = 0.5 * jnp.log(jnp.maximum(qsq, 1e-30))
+    xlog = 0.5 * jnp.log(jnp.maximum(xsq_max, 1e-30))
+    bounded = jnp.all(
+        (qsq < _SAFE_LIM) & (xsq_max < _SAFE_LIM) & (qlog + xlog < _SAFE_LOG))
     tiles = n // row_tile
     kernel = functools.partial(_stage_gmin_body, metric=metric)
     gmin, rank = pl.pallas_call(
@@ -391,7 +419,7 @@ def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
         ),
         interpret=jax.default_backend() == "cpu",
     )(x, xsq.reshape(-1, 1), bias.reshape(-1, 1), qt, qsq)
-    return gmin.T, rank, jnp.logical_not(jnp.any(jnp.isneginf(gmin)))
+    return gmin.T, rank, bounded
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "count", "dims"))
@@ -533,8 +561,10 @@ def _int8_gmin_body(x_ref, scale_ref, xsq_ref, bias_ref, qt_ref, qscale_ref,
         # true f32 row norms keep the l2 expansion honest; only the cross
         # term is quantized
         rank = xsq_ref[:] - 2.0 * approx + qsq_ref[:]
+    # no in-kernel finiteness pass: |dots| <= d * 127^2 fits i32 exactly,
+    # and the wrapper's scale-product bound proves |approx| finite; batches
+    # with pathological dequant scales flag ok=False (host oracle) instead
     rank = rank + bias_ref[:]
-    rank = jnp.where(jnp.isfinite(rank), rank, jnp.inf)
     t, b = rank.shape
     gmin_ref[:] = jnp.min(rank.reshape(t // GROUP, GROUP, b), axis=1)
 
@@ -543,6 +573,13 @@ def _int8_gmin_scan(x8, scale, xsq, bias, q8t, qscale, qsq, *, metric, row_tile)
     n, d = x8.shape
     b = q8t.shape[1]
     tiles = n // row_tile
+    # overflow-safety bound (see _gmin_scan): |approx| <= d*127^2 * scale *
+    # qscale exactly, so finite ranks are guaranteed when the dequant scale
+    # product and the norm terms sit under the per-term cap
+    amax = (jnp.float32(d * 127 * 127)
+            * jnp.max(scale) * jnp.max(jnp.abs(qscale)))
+    bounded = jnp.all(
+        (amax < _SAFE_LIM) & (jnp.max(xsq) < _SAFE_LIM) & (qsq < _SAFE_LIM))
     kernel = functools.partial(_int8_gmin_body, metric=metric)
     gmin = pl.pallas_call(
         kernel,
@@ -566,7 +603,7 @@ def _int8_gmin_scan(x8, scale, xsq, bias, q8t, qscale, qsq, *, metric, row_tile)
         interpret=jax.default_backend() == "cpu",
     )(x8, scale.reshape(-1, 1), xsq.reshape(-1, 1), bias.reshape(-1, 1),
       q8t, qscale.reshape(1, -1), qsq.reshape(1, -1))
-    return gmin.T
+    return gmin.T, bounded
 
 
 def _int8_rescore_body(gidx_ref, x_ref, scale_ref, xsq_ref, bias_ref, q_ref,
@@ -621,7 +658,8 @@ def fused_int8_search(x8, scale, xsq, bias, lex_rank, q, *, metric, k):
     ``lex_rank``/``q`` as fused_flat_search. Selection ranks are the
     quantized metric (candidates are approximate, like bf16 storage but
     coarser); the returned raw values come from dequantized rows at HIGHEST
-    precision. ok False = tie spill past the slack.
+    precision. ok False = tie spill past the slack, or dequant scales so
+    extreme the approx rank could overflow f32 (host-oracle route).
     """
     n, d = x8.shape
     b = q.shape[0]
@@ -636,8 +674,8 @@ def fused_int8_search(x8, scale, xsq, bias, lex_rank, q, *, metric, k):
     qscale = qmax / 127.0  # [B]
     q8 = jnp.clip(jnp.round(qf / qscale[:, None]), -127, 127).astype(jnp.int8)
     qsq = jnp.sum(qf * qf, axis=1)  # [B]
-    gmin = _int8_gmin_scan(x8, scale, xsq, bias, q8.T, qscale, qsq,
-                           metric=metric, row_tile=row_tile)
+    gmin, bounded = _int8_gmin_scan(x8, scale, xsq, bias, q8.T, qscale, qsq,
+                                    metric=metric, row_tile=row_tile)
     ng = n // GROUP
     gsel = min(k + GROUP_SLACK, ng)
     gtop, gidx, g_ok = select.group_topk(gmin, gsel, check_c=k)
@@ -678,7 +716,7 @@ def fused_int8_search(x8, scale, xsq, bias, lex_rank, q, *, metric, k):
         raw = -rdots if metric == "negative_inner_product" else rdots
         if metric == "cosine":
             top_rank = jnp.where(jnp.isfinite(top_rank), 1.0 - raw, jnp.inf)
-    return top_slot, raw, top_rank, spill_ok & tie_ok
+    return top_slot, raw, top_rank, bounded & spill_ok & tie_ok
 
 
 # ---------------------------------------------------------------------------
