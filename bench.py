@@ -71,6 +71,10 @@ BUDGET_S = float(os.environ.get("VETTORE_BENCH_BUDGET_S", "1050"))
 # session-init watchdog's re-exec (the fresh process inherits the original T0)
 _T0 = float(os.environ.get("_VETTORE_BENCH_T0") or time.monotonic())
 
+# resolved once: argv[0] may be cwd-relative (`python bench.py`), and the
+# watchdog's re-exec must survive a changed working directory
+_SELF = os.path.abspath(sys.argv[0])
+
 
 def left() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
@@ -123,16 +127,25 @@ def _session_init_watchdog(wedge_timeout_s=600.0, respect_budget=True):
     from vettore_tpu.ops.transport import fetch_barrier
 
     done = threading.Event()
+    failure = []
 
     def _init():
-        fetch_barrier(jnp.ones((8, 128)) * 2.0)
-        done.set()
+        # deterministic init failures must surface immediately — only a
+        # WEDGE (no outcome at all) should burn the watchdog timeout
+        try:
+            fetch_barrier(jnp.ones((8, 128)) * 2.0)
+        except BaseException as exc:  # noqa: BLE001 - re-raised below
+            failure.append(exc)
+        finally:
+            done.set()
 
     threading.Thread(target=_init, daemon=True).start()
     budgeted = wedge_timeout_s
     if respect_budget:  # leave room for the emergency emit before the alarm
         budgeted = min(wedge_timeout_s, max(60.0, left() - 120.0))
     if done.wait(budgeted):
+        if failure:
+            raise failure[0]
         return
     if os.environ.get("_VETTORE_BENCH_REEXEC"):
         _phase("session init wedged again after re-exec; emitting and exiting")
@@ -143,7 +156,7 @@ def _session_init_watchdog(wedge_timeout_s=600.0, respect_budget=True):
     env = dict(os.environ)
     env["_VETTORE_BENCH_REEXEC"] = "1"
     env["_VETTORE_BENCH_T0"] = repr(_T0)
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    os.execve(sys.executable, [sys.executable, _SELF] + sys.argv[1:], env)
 
 
 # ---------------------------------------------------------------------------

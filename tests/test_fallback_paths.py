@@ -345,12 +345,24 @@ class TestInt8Storage:
             if bi == hi:
                 assert abs(br - hr) < 0.05
 
-    def test_int8_requires_fused_configs(self):
+    def test_int8_serves_non_fused_configs(self):
+        """Non-fused configs (exotic metric, tiny cap) dequantize through
+        the XLA scan instead of refusing — every metric/limit stays
+        servable on int8 storage (flat.rs:96-124)."""
+        n, d = 64, 8
+        data = _corpus(n, d, seed=35)
         idx = FlatIndex("manhattan", storage="int8")  # exotic metric
-        idx.put_matrix([f"m-{i}" for i in range(8)],
-                       _corpus(8, 8, seed=35))
-        with pytest.raises(InvalidFlatOptions):
-            idx.search([0.0] * 8, 3)
+        idx.put_matrix([f"m-{i:03d}" for i in range(n)], data)
+        base = FlatIndex("manhattan")
+        base.put_matrix([f"m-{i:03d}" for i in range(n)], data)
+        hits = idx.search(list(data[5]), 5)
+        want = base.search(list(data[5]), 5)
+        assert hits[0][0] == "m-005"
+        got_ids = {id for id, _ in hits}
+        want_ids = {id for id, _ in want}
+        assert len(got_ids & want_ids) >= 3  # int8 noise can reorder the tail
+        for (_, hr), (_, br) in zip(hits, want):
+            assert abs(hr - br) < 0.3  # dequantized raws track exact values
 
     def test_widening_view_of_int8_parent_rebuilds(self):
         n, d = 1024, 16

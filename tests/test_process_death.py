@@ -25,7 +25,6 @@ import textwrap
 import time
 
 import numpy as np
-import pytest
 
 import vettore_tpu as vt
 
@@ -45,13 +44,31 @@ def _spawn(body: str) -> subprocess.Popen:
 
 
 def _wait_for(proc: subprocess.Popen, marker: str, timeout_s: float = 120.0):
-    t0 = time.monotonic()
-    for line in proc.stdout:
+    """Reads child stdout with a REAL deadline: a reader thread feeds a
+    queue, so a silently wedged child (no output at all) still fails at
+    ``timeout_s`` instead of blocking the suite forever on readline."""
+    import queue
+    import threading
+
+    lines: queue.Queue = queue.Queue()
+    def _reader():
+        for line in proc.stdout:
+            lines.put(line)
+        lines.put(None)  # EOF
+
+    t = threading.Thread(target=_reader, daemon=True)
+    t.start()
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            line = lines.get(timeout=max(0.0, deadline - time.monotonic()))
+        except queue.Empty:
+            raise AssertionError(
+                f"child never printed {marker!r} within {timeout_s}s")
+        if line is None:
+            raise AssertionError(f"child exited before printing {marker!r}")
         if marker in line:
             return
-        if time.monotonic() - t0 > timeout_s:
-            break
-    raise AssertionError(f"child never printed {marker!r}")
 
 
 def test_sigkill_mid_snapshot_keeps_last_good_snapshot(tmp_path):
@@ -96,12 +113,19 @@ def test_sigkill_mid_snapshot_keeps_last_good_snapshot(tmp_path):
     assert len(loaded.all()) == 64
     loaded.close()
 
-    # any leftover tmp file from the interrupted write must not be a valid
-    # snapshot the loader could confuse with the real one
+    # leftover tmp files from the interrupted write: the guaranteed contract
+    # is NO TORN LOADS — a SIGKILL can land after the tmp file is fully
+    # written+closed but before os.replace, leaving a complete checksum-valid
+    # tmp, so loading one must either raise InvalidSnapshot (partial bytes)
+    # or yield the complete 64-record snapshot — never a partial state
     stale = [p for p in os.listdir(tmp_path) if p != "col.snap"]
     for name in stale:
-        with pytest.raises(Exception):
-            vt.load_snapshot(str(tmp_path / name))
+        try:
+            extra = vt.load_snapshot(str(tmp_path / name))
+        except Exception:
+            continue  # torn tmp rejected — the common case
+        assert len(extra.all()) == 64
+        extra.close()
 
 
 def test_sigkill_mid_ingest_rebuilds_from_snapshot(tmp_path):

@@ -49,7 +49,13 @@ def _cap_for(needed: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "limit", "use_true_cosine"))
-def _search_kernel(x, valid, lex_order, q, *, metric, limit, use_true_cosine=False):
+def _search_kernel(x, valid, lex_order, q, scale=None, *, metric, limit,
+                   use_true_cosine=False):
+    if scale is not None:
+        # int8 storage on a non-fused config: dequantize through the XLA
+        # path (fused into the scan read — no [N, d] f32 materialization);
+        # raw quality matches the fused int8 path's storage-noise posture
+        x = x.astype(jnp.float32) * scale.reshape(-1, 1)
     raw = batched_raw_scores(x, q, metric=metric, use_true_cosine=use_true_cosine)
     rank = rank_from_raw(raw, metric=metric)
     rank = jnp.where(valid, rank, jnp.inf)
@@ -81,7 +87,8 @@ def _unpack_hits(packed: np.ndarray, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "limit", "use_true_cosine"))
-def _search_kernel_batch(x, valid, lex_order, queries, *, metric, limit, use_true_cosine=False):
+def _search_kernel_batch(x, valid, lex_order, queries, scale=None, *, metric,
+                         limit, use_true_cosine=False):
     """Batched variant: ``queries`` [B, d] → per-query top-k in ONE dispatch.
 
     Query batching is the TPU-native analog of the reference's concurrent ETS
@@ -91,7 +98,8 @@ def _search_kernel_batch(x, valid, lex_order, queries, *, metric, limit, use_tru
 
     def one(q):
         return _search_kernel(
-            x, valid, lex_order, q, metric=metric, limit=limit, use_true_cosine=use_true_cosine
+            x, valid, lex_order, q, scale, metric=metric, limit=limit,
+            use_true_cosine=use_true_cosine
         )
 
     return jax.vmap(one)(queries)
@@ -141,9 +149,9 @@ class FlatIndex(Index):
         #: native MXU pass — half the HBM, ~3-6x the matmul rate, raw values
         #: approximate to ~1e-2. "int8" stores per-row symmetric-quantized
         #: values + f32 scales — quarter the HBM, int8 MXU pass, raw values
-        #: approximate to ~1e-2..1e-1; requires fused-eligible configs
-        #: (metric in FUSED_METRICS, limit <= 128). The host mirror stays
-        #: f32 (canonical) in every mode.
+        #: approximate to ~1e-2..1e-1; non-fused configs (exotic metrics,
+        #: tiny caps, limit > 128) dequantize through the XLA scan, so every
+        #: search stays servable. The host mirror stays f32 (canonical).
         self.storage = storage
         self._int8_scale = None
         self.metric = metric
@@ -421,11 +429,12 @@ class FlatIndex(Index):
         return fused_flat_search(x, xsq, bias, lex_rank, queries_device,
                                  metric=self.metric, k=k)
 
-    def _require_fused(self, k: int) -> None:
-        if self.storage == "int8":
-            raise InvalidFlatOptions(
-                "int8 storage serves only fused-eligible searches "
-                "(metric in the fused set, limit <= 128, cap >= 1024)")
+    def _xla_scale(self):
+        """Dequant scales for the XLA fallback kernels (None unless int8):
+        every metric/limit stays servable on int8 storage — the fallback
+        dequantizes inside the scan instead of refusing (flat.rs:96-124
+        serves every metric regardless of storage)."""
+        return self._int8_scale if self.storage == "int8" else None
 
     def search(self, query, limit: int) -> list:
         """Returns up to ``limit`` ``(id, raw)`` hits, best-first with
@@ -446,10 +455,9 @@ class FlatIndex(Index):
             slots_b, raws_b, all_finite = _unpack_hits(packed, k)
             slots, raws = slots_b[0], raws_b[0]
         else:
-            self._require_fused(k)
             d_slots, d_raws, _d_ranks, d_fin = _search_kernel(
                 x, valid, lex_order, jnp.asarray(q, dtype=jnp.float32),
-                metric=self.metric, limit=k,
+                self._xla_scale(), metric=self.metric, limit=k,
             )
             # One host round-trip for all outputs (the link dominates latency).
             packed = np.asarray(_pack_hits(d_slots[None, :], d_raws[None, :], d_fin))
@@ -493,10 +501,9 @@ class FlatIndex(Index):
             slots, raws, fin = _unpack_hits(packed, k)
             all_finite = np.repeat(fin, qs.shape[0])
         else:
-            self._require_fused(k)
             d_slots, d_raws, _d_ranks, d_fin_rows = _search_kernel_batch(
                 x, valid, lex_order, jnp.asarray(qs, dtype=jnp.float32),
-                metric=self.metric, limit=k,
+                self._xla_scale(), metric=self.metric, limit=k,
             )
             packed = np.asarray(_pack_hits(d_slots, d_raws, jnp.all(d_fin_rows)))
             slots, raws, fin = _unpack_hits(packed, k)
@@ -525,9 +532,9 @@ class FlatIndex(Index):
         if self._fused_eligible(k):
             slots, raws, _ranks, _fin = self._fused_dispatch(queries_device, k)
             return slots, raws
-        self._require_fused(k)
         slots, raws, _ranks, _fin = _search_kernel_batch(
-            x, valid, lex_order, queries_device, metric=self.metric, limit=k
+            x, valid, lex_order, queries_device, self._xla_scale(),
+            metric=self.metric, limit=k
         )
         return slots, raws
 
@@ -541,9 +548,9 @@ class FlatIndex(Index):
         if self._fused_eligible(k):
             slots, _raws, ranks, _fin = self._fused_dispatch(queries_device, k)
         else:
-            self._require_fused(k)
             slots, _raws, ranks, _fin = _search_kernel_batch(
-                x, valid, lex_order, queries_device, metric=self.metric, limit=k
+                x, valid, lex_order, queries_device, self._xla_scale(),
+                metric=self.metric, limit=k
             )
         return slots, jnp.isfinite(ranks)
 
