@@ -530,7 +530,51 @@ def main():
     else:
         detail["skipped"].append("flat_bf16_budget")
 
-    # ---- HNSW (config 2, the headline): cached graph or on-device build
+    # ---- IVF (TPU-native ANN, vettore_tpu/index/ivf.py): k-means routing +
+    # contiguous-block rescore. The build is SECONDS (dense MXU k-means), so
+    # it always runs cold — no cache, and ivf_build_s is an honest cold
+    # number every run.
+    if left() > 90:
+        try:
+            from vettore_tpu.index.ivf import IvfIndex
+
+            _phase("ivf build (cold)")
+            t0 = time.perf_counter()
+            ivf = IvfIndex.from_flat(flat, {"n_probe": 4, "storage": "bf16"})
+            ivf.rebuild()
+            fetch_barrier(ivf._bcb)
+            detail["ivf_build_s"] = round(time.perf_counter() - t0, 1)
+            _phase(f"ivf built in {detail['ivf_build_s']}s; n_probe sweep")
+            for p in (4, 8, 16, 32, 64):
+                if p * 64 > n:
+                    break
+                ivf.params["n_probe"] = p
+                hits = ivf.search_batch(queries[:q_count], 10)
+                r = overlap_at_k(hits, truth)
+                _phase(f"  n_probe={p}: recall@10={r:.4f}")
+                if r >= RECALL_GATE or p == 64 or left() < 90:
+                    def ivf_dispatch(i):
+                        return ivf.search_batch_device(
+                            qslices[i % len(qslices)], 10)
+
+                    qps = timed_qps(ivf_dispatch, 24, batch)
+                    detail["ivf"] = {
+                        "qps": round(qps, 1), "n_probe": p,
+                        "recall_at_10": round(r, 4),
+                        **timed_percentiles(ivf_dispatch),
+                    }
+                    if r >= RECALL_GATE or left() < 90:
+                        break
+            _phase(f"ivf {detail.get('ivf')}")
+            _promote_headline(detail, n, d)
+            del ivf
+        except Exception as exc:
+            detail["skipped"].append(f"ivf_error:{type(exc).__name__}")
+            _phase(f"ivf failed: {exc}")
+    else:
+        detail["skipped"].append("ivf_budget")
+
+    # ---- HNSW (config 2): cached graph or on-device build
     graph_path = _cache_path(graph_cache_name(n, d))
     hnsw = None
     if os.path.exists(graph_path):
@@ -752,6 +796,9 @@ def _promote_headline(detail, n, d):
                            detail["flat_bf16"]["overlap_at_10"]))
     if detail.get("recall_at_10") is not None and detail.get("hnsw_qps"):
         contenders.append(("hnsw", detail["hnsw_qps"], detail["recall_at_10"]))
+    if "ivf" in detail:
+        contenders.append(("ivf", detail["ivf"]["qps"],
+                           detail["ivf"]["recall_at_10"]))
     for mode in ("quantized", "funnel"):
         if mode in detail:
             contenders.append((mode, detail[mode]["qps"],

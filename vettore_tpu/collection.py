@@ -403,8 +403,13 @@ class _VectorCache:
         if key in self._index_tables:
             return self._index_tables[key]
         index_ids = None
+        vocab = getattr(index, "hybrid_id_vocab", None)
         if isinstance(index, FlatIndex):
             index_ids = index._ids
+        elif callable(vocab):
+            # IVF and other indexes with a dynamic device-slot vocabulary;
+            # the table must NOT cache across mutations — keyed per version
+            index_ids = vocab()
         else:
             # HNSW: the device graph's id list (callers touch the device
             # search path first, which refreshes _device)
@@ -543,6 +548,14 @@ class Collection:
             from .index.hnsw import HnswIndex
 
             return HnswIndex(metric, index_options)
+        if index == "ivf":
+            if mesh is not None:
+                from .parallel.ivf_mesh import MeshIvfIndex
+
+                return MeshIvfIndex(metric, index_options, mesh=mesh)
+            from .index.ivf import IvfIndex
+
+            return IvfIndex(metric, index_options)
         if isinstance(index, type):
             instance = index(metric, index_options)
         else:
@@ -650,11 +663,14 @@ class Collection:
             # graph swapped over a flat-ingested collection enables the
             # hnsw hybrid generator, load_snapshot index overrides, etc.)
             from .index.hnsw import HnswIndex as _Hnsw
+            from .index.ivf import IvfIndex as _Ivf
 
             if isinstance(index, FlatIndex):
                 self.index_kind = "flat"
             elif isinstance(index, _Hnsw):
                 self.index_kind = "hnsw"
+            elif isinstance(index, _Ivf):
+                self.index_kind = "ivf"
             else:
                 self.index_kind = "custom"
             self._bump()
@@ -1534,11 +1550,7 @@ class Collection:
         _reject_extra(extra)
         _validate_limit(limit)
         if generators is None:
-            # collection.ex:513-514: hnsw collections default to
-            # [:hnsw, :quantized], everything else to [:funnel, :quantized]
-            generators = (
-                ["hnsw", "quantized"] if self.index_kind == "hnsw" else ["funnel", "quantized"]
-            )
+            generators = self._default_generators()
         if not isinstance(generators, (list, tuple)) or not generators:
             raise E.InvalidGenerator(generators)
         q = self.prepare_query(query)
@@ -1553,6 +1565,17 @@ class Collection:
                 np.asarray(query, np.float64)[None, :], limit=limit,
                 generators=generators, rerank=rr)[0]
         return self._hybrid_single(q, limit, generators, rerank)
+
+    def _default_generators(self) -> list:
+        """collection.ex:513-514: hnsw collections default to
+        [:hnsw, :quantized], everything else to [:funnel, :quantized]; ivf
+        collections (a TPU-native extension) analogously pair their index
+        generator with the quantized prefilter."""
+        if self.index_kind == "hnsw":
+            return ["hnsw", "quantized"]
+        if self.index_kind == "ivf":
+            return ["search", "quantized"]
+        return ["funnel", "quantized"]
 
     def _hybrid_single(self, q, limit, generators, rerank) -> list:
         """Host-orchestrated single-query hybrid pipeline (also the overflow
@@ -1616,9 +1639,7 @@ class Collection:
         _reject_extra(extra)
         _validate_limit(limit)
         if generators is None:
-            generators = (
-                ["hnsw", "quantized"] if self.index_kind == "hnsw" else ["funnel", "quantized"]
-            )
+            generators = self._default_generators()
         if not isinstance(generators, (list, tuple)) or not generators:
             raise E.InvalidGenerator(generators)
         parsed = [self._parse_generator(g, limit) for g in generators]

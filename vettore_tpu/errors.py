@@ -128,6 +128,18 @@ class UnsupportedHnswMetric(VettoreError):
         super().__init__(f"unsupported hnsw metric: {metric!r}")
 
 
+class InvalidIvfOptions(VettoreError):
+    reason = "invalid_ivf_options"
+
+
+class UnsupportedIvfMetric(VettoreError):
+    reason = "unsupported_ivf_metric"
+
+    def __init__(self, metric):
+        self.metric = metric
+        super().__init__(f"unsupported ivf metric: {metric!r}")
+
+
 class InvalidStore(VettoreError):
     reason = "invalid_store"
 

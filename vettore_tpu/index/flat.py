@@ -379,6 +379,10 @@ class FlatIndex(Index):
         order = live[np.argsort(id_arr, kind="stable")] if live.size else live
         invalid = np.flatnonzero(~self._valid)
         lex_order = np.concatenate([order, invalid]).astype(np.int32)
+        # cached for consumers that need live slots in id order without
+        # re-sorting a million id strings (IvfIndex.rebuild)
+        self._lex_order_np = lex_order
+        self._live_count = int(live.size)
         lex_rank = np.zeros(self._cap, dtype=np.int32)
         lex_rank[lex_order] = np.arange(self._cap, dtype=np.int32)
         xsq = np.sum(
