@@ -146,3 +146,47 @@ class TestMeshHnswCollection:
         got = sharded.search(list(vectors[10]), limit=5)
         assert "doc-010" not in [r.id for r in got]
         assert len(got) == 5
+
+
+class TestMeshIvfCollection:
+    """IVF sharded over the mesh: with n_probe covering every per-shard
+    block, results must match the single-chip collection exactly (the
+    full-candidate-equals-exact discipline,
+    /root/reference/test/vector_adversarial_test.exs:376-421)."""
+
+    OPTS = {"index_options": {"n_probe": 65_536, "kmeans_iters": 2}}
+
+    def test_search_matches_single_chip(self):
+        sharded, single, records, vectors = make_pair(index="ivf", **self.OPTS)
+        for qi in (3, 17, 42):
+            got = sharded.search(list(vectors[qi]), limit=7)
+            want = single.search(list(vectors[qi]), limit=7)
+            assert [r.id for r in got] == [r.id for r in want]
+            for g, w in zip(got, want):
+                assert g.score == pytest.approx(w.score, abs=1e-2)
+
+    def test_delete_then_insert(self):
+        sharded, single, records, vectors = make_pair(index="ivf", **self.OPTS)
+        sharded.delete("doc-003")
+        got = sharded.search(list(vectors[3]), limit=5)
+        assert "doc-003" not in [r.id for r in got]
+        sharded.put(records[3])
+        got = sharded.search(list(vectors[3]), limit=5)
+        assert got[0].id == "doc-003"
+
+    def test_l2_metric_parity(self):
+        sharded, single, records, vectors = make_pair(index="ivf", metric="l2",
+                                                      **self.OPTS)
+        got = sharded.search(list(vectors[9]), limit=5)
+        want = single.search(list(vectors[9]), limit=5)
+        assert [r.id for r in got] == [r.id for r in want]
+
+    def test_snapshot_restore_on_mesh(self, tmp_path):
+        sharded, single, records, vectors = make_pair(index="ivf", **self.OPTS)
+        snap = tmp_path / "mesh-ivf.snap"
+        sharded.snapshot(str(snap))
+        loaded = vt.load_snapshot(str(snap), mesh=sharded.mesh)
+        assert loaded.index_kind == "ivf"
+        got = loaded.search(list(vectors[5]), limit=3)
+        assert got[0].id == "doc-005"
+        loaded.close()
