@@ -120,6 +120,33 @@ def main():
     assert len(reranked) == 3
     print(f"[smoke] maxsim+hybrid+mmr ok ({time.time()-t0:.0f}s)", flush=True)
 
+    # ---- fused MaxSim Pallas scan (d=128, T pow2, cap%128==0 → engages
+    # ops/maxsim.fused_maxsim_topk_batch, Mosaic-compiled) vs host oracle
+    from vettore_tpu.ops import maxsim as maxsim_ops
+
+    mvf = vt.Collection(name="smoke-mvf", dimensions=128, metric="cosine")
+    mvf_rng = np.random.default_rng(11)
+    mv_docs = [mvf_rng.normal(size=(int(mvf_rng.integers(1, 5)), 128))
+               for _ in range(300)]
+    mvf.put_many([
+        {"id": f"mvf-{i:03d}", "vectors": toks.tolist()}
+        for i, toks in enumerate(mv_docs)
+    ])
+    fcache = mvf._scan_cache()
+    ftok, _ = fcache.multi_vectors()
+    assert maxsim_ops.supports_fused(
+        "cosine", int(ftok.shape[0]), int(ftok.shape[1]), 128, 4,
+        ftok.dtype.itemsize), "smoke config must engage the fused MV scan"
+    fq = [mvf_rng.normal(size=128).tolist() for _ in range(2)]
+    fres = mvf.multi_vector_search(fq, limit=5)
+    fdocs = [(f"mvf-{i:03d}", [list(t) for t in toks])
+             for i, toks in enumerate(mv_docs)]
+    fwant = maxsim_ops.top_k(fdocs, fq, "cosine", 5)
+    assert [r.id for r in fres] == [w[0] for w in fwant], (fres, fwant)
+    for r, w in zip(fres, fwant):
+        assert abs(r.score - w[1]) < 1e-3, (r.id, r.score, w)
+    print(f"[smoke] fused maxsim parity ok ({time.time()-t0:.0f}s)", flush=True)
+
     # ---- snapshot round-trip
     import tempfile
 

@@ -1529,6 +1529,19 @@ class Collection:
                 jnp.asarray(qtok_p), jnp.asarray(qmask_p),
                 metric=metric, limit=k, chunk=chunk,
             ))
+        elif maxsim_ops.supports_fused(
+            metric, int(tokens.shape[0]), int(tokens.shape[1]),
+            int(tokens.shape[2]), qtok.shape[0] * qtok.shape[1],
+            tokens.dtype.itemsize,
+        ):
+            # fused Pallas scan: one pass over the token block (the XLA
+            # chunked path re-materializes [chunk, B, Q, T] sim blocks —
+            # ~6x the HBM traffic at 1M x 32 x 128)
+            slots, scores, ok = jax.device_get(maxsim_ops.fused_maxsim_topk_batch(
+                tokens, counts, valid, jnp.asarray(qtok), jnp.asarray(qmask),
+                metric=metric, limit=k,
+                t=int(tokens.shape[1]), b=int(qtok.shape[0]),
+            ))
         else:
             slots, scores, ok = jax.device_get(maxsim_ops.maxsim_full_topk_batch(
                 tokens, counts, valid, jnp.asarray(qtok), jnp.asarray(qmask),

@@ -336,6 +336,214 @@ def maxsim_full_topk_batch(tokens, token_counts, valid, qtok, qmask, *,
     return k_slots, k_scores, ok
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas full-corpus scan: dots on the MXU, max-over-T and sum-over-Q
+# in VMEM, ONE [B, N] rank write — no [chunk, B, Q, T] sim intermediate.
+# The XLA chunked scan above reads+writes ~65 GB of sim blocks per 1M x 32 x
+# 128 batch (measured ~48 GB/s effective, 158 ms); this kernel's traffic is
+# the 7.6 GiB token block + 0.25 GB of ranks (bandwidth-bound ceiling ~26 ms).
+# Selection reuses the flat scan's group-cover machinery and the winners
+# rerank at HIGHEST precision through maxsim_subset_topk_batch, so returned
+# scores match the XLA path's storage-exact values; only the CANDIDATE
+# selection carries bf16 noise (the flat bf16 posture).
+# ---------------------------------------------------------------------------
+
+from jax.experimental import pallas as pl  # noqa: E402
+
+#: VMEM budget for the fused scan tile (the [RT, BQ] dots block dominates;
+#: the estimate counts dots + one fused temporary, so leave Mosaic headroom)
+_MV_VMEM = 11 * 2**20
+
+FUSED_MV_METRICS = ("cosine", "inner_product", "negative_inner_product")
+
+
+def _mv_row_tile(t: int, d: int, bq: int, itemsize: int, nt: int):
+    """Largest token-row tile fitting VMEM: double-buffered x tile + f32
+    dots/sim blocks + per-doc epilogue. The doc count per tile is the rank
+    output's LANE dimension, so it must be a 128 multiple (Mosaic block
+    rule); 256 first when it fits."""
+    for docs in (256, 128):
+        rt = docs * t
+        if nt % rt:
+            continue
+        est = 2 * rt * d * itemsize + 2 * rt * bq * 4 + d * bq * itemsize
+        if est <= _MV_VMEM:
+            return rt
+    return None
+
+
+def supports_fused(metric: str, cap: int, t: int, d: int, bq: int,
+                   itemsize: int) -> bool:
+    """Whether the fused MaxSim scan serves this configuration (dot-family
+    metrics; lane-aligned d; T a power of two via the cache's padding; tile
+    divisibility; 64-doc group alignment for the cover selection)."""
+    return (
+        metric in FUSED_MV_METRICS
+        and d % 128 == 0
+        and t >= 1 and (t & (t - 1)) == 0
+        and cap % 128 == 0
+        and _mv_row_tile(t, d, bq, itemsize, cap * t) is not None
+    )
+
+
+def _mv_scan_body(x_ref, tinv_ref, tbias_ref, dzero_ref, dbias_ref, qt_ref,
+                  qinv_ref, rank_ref, *, t, b, metric, fast):
+    dots = jnp.dot(x_ref[:], qt_ref[:],
+                   preferred_element_type=jnp.float32,
+                   precision=None if fast else jax.lax.Precision.HIGHEST,
+                   )  # [RT, BQ]
+    if metric == "cosine":
+        sim = dots * tinv_ref[:] * qinv_ref[:]
+        sim = jnp.clip(sim, -1.0, 1.0)
+    else:
+        # inner_product and negative_inner_product: similarity IS the dot
+        # (similarity_value(nip, -dot) = dot), multi_vector.rs:44-87
+        sim = dots
+    sim = sim + tbias_ref[:]  # -BIG on pad token rows
+    rt, bq = sim.shape
+    dt = rt // t
+    best = jnp.max(sim.reshape(dt, t, bq), axis=1)  # [DT, BQ]
+    totals = jnp.sum(best.reshape(dt, b, bq // b), axis=2)  # [DT, B]
+    # zero-token docs score 0.0 (multi_vector.rs:44-60); dead slots +inf out
+    rank = jnp.where(dzero_ref[:] > 0.0, 0.0, -totals) + dbias_ref[:]
+    rank_ref[:] = rank.T  # [B, DT]
+
+
+def fused_maxsim_rank_scan(x2, tinv, tbias, dzero, dbias, qt, qinv, *,
+                           t: int, b: int, metric: str, row_tile: int):
+    """One fused pass over the flattened ``[N*T, d]`` token block: returns
+    the ``[B, N]`` MaxSim rank matrix (rank = -score, +inf on dead docs,
+    exactly 0 on zero-token docs).
+
+    ``x2`` [NT, d] storage dtype, ``tinv`` [NT, 1] f32 inverse token norms
+    (cosine; ones otherwise), ``tbias`` [NT, 1] f32 (0 real / -BIG pad),
+    ``dzero`` [N, 1] f32 (1 = zero-token doc), ``dbias`` [N, 1] f32 (+inf =
+    dead slot), ``qt`` [d, B*Q] storage dtype (b-major columns; pad query
+    tokens are zero rows, which contribute exactly 0 to every doc's total),
+    ``qinv`` [1, B*Q] f32 inverse query-token norms (cosine; ones otherwise).
+    """
+    nt, d = x2.shape
+    bq = qt.shape[1]
+    n = nt // t
+    if row_tile is None or nt % row_tile:
+        raise ValueError("fused_maxsim_rank_scan: no VMEM-feasible row tile")
+    tiles = nt // row_tile
+    docs_tile = row_tile // t
+    kernel = functools.partial(_mv_scan_body, t=t, b=b, metric=metric,
+                               fast=x2.dtype == jnp.bfloat16)
+    rank = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((docs_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((docs_tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((d, bq), lambda i: (0, 0)),
+            pl.BlockSpec((1, bq), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, docs_tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt * d * bq,
+            bytes_accessed=nt * d * x2.dtype.itemsize + d * bq * 4 + n * b * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, tinv, tbias, dzero, dbias, qt, qinv)
+    return rank
+
+
+#: pad-token sim sentinel: far below any real similarity but finite, so a
+#: max over an all-pad doc stays representable (the dzero select zeroes it)
+_PAD_SIM = -3.0e38
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "limit", "t", "b"))
+def fused_maxsim_topk_batch(tokens, token_counts, valid, qtok, qmask, *,
+                            metric: str, limit: int, t: int, b: int):
+    """Fused full-corpus MaxSim top-k: Pallas rank scan + group-cover
+    candidate selection + HIGHEST-precision subset rerank of the winners.
+
+    Same contract as :func:`maxsim_full_topk_batch` (slots in cache-lex
+    order, (score desc, slot asc) ties, ``ok`` per query). Candidate
+    selection ranks with the storage dtype (bf16 blocks select with bf16
+    dots — the flat bf16 posture); the returned scores are re-scored at
+    HIGHEST from the gathered winners, so values match the XLA path.
+    """
+    from . import select as select_ops
+    from .flat_scan import GROUP, extract_group_rows
+
+    cap, t_dim, d = tokens.shape
+    assert t_dim == t
+    bsz, qmax = qtok.shape[0], qtok.shape[1]
+    assert bsz == b
+    nt = cap * t
+    x2 = tokens.reshape(nt, d)
+    row_tile = _mv_row_tile(t, d, b * qmax, tokens.dtype.itemsize, nt)
+
+    tf32 = x2.astype(jnp.float32)
+    token_live = (
+        jnp.arange(t, dtype=jnp.int32)[None, :] < token_counts[:, None]
+    ).reshape(nt)
+    tbias = jnp.where(token_live, 0.0, _PAD_SIM).astype(jnp.float32)
+    if metric == "cosine":
+        tn = jnp.sqrt(jnp.sum(tf32 * tf32, axis=1))
+        tinv = jnp.where(tn > 0.0, 1.0 / jnp.maximum(tn, 1e-38), 0.0)
+        qn = jnp.sqrt(jnp.sum(qtok.astype(jnp.float32) ** 2, axis=2))  # [B, Q]
+        qinv = jnp.where(qn > 0.0, 1.0 / jnp.maximum(qn, 1e-38), 0.0)
+        bound_ok = jnp.bool_(True)  # |cosine| <= 1 by construction
+    else:
+        tinv = jnp.ones(nt, jnp.float32)
+        qinv = jnp.ones((b, qmax), jnp.float32)
+        # overflow posture (flat_scan._gmin_scan): prove every |dot| and
+        # every total finite via norm products, else route to the oracle
+        tmax = jnp.max(jnp.sum(tf32 * tf32, axis=1))
+        qsqm = jnp.max(jnp.sum(qtok.astype(jnp.float32) ** 2, axis=2))
+        bound_ok = (jnp.sqrt(tmax) * jnp.sqrt(qsqm) * qmax) < 3.0e37
+    dzero = (token_counts <= 0).astype(jnp.float32)
+    dbias = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
+
+    qt = qtok.reshape(b * qmax, d).T.astype(x2.dtype)  # b-major columns
+    rank = fused_maxsim_rank_scan(
+        x2, tinv.reshape(-1, 1), tbias.reshape(-1, 1),
+        dzero.reshape(-1, 1), dbias.reshape(-1, 1), qt,
+        qinv.reshape(1, -1), t=t, b=b, metric=metric, row_tile=row_tile)
+
+    # group-cover selection (flat_scan discipline): C candidates for the
+    # HIGHEST rerank, then the exact top-limit comes from re-scored values
+    c = min(max(2 * limit, 64), cap)
+    ng = cap // GROUP
+    gmin = jnp.min(rank.reshape(b, ng, GROUP), axis=2)
+    gsel = min(c + select_ops.SLACK, ng)
+    _gv, gidx, g_ok = select_ops.group_topk(gmin, gsel, check_c=c)
+    gidx = jnp.minimum(gidx, ng - 1)
+    pair = 2 * GROUP
+    if cap % pair == 0:
+        cand = extract_group_rows(
+            rank.reshape(b, cap // pair, pair), gidx, half=True
+        ).reshape(b, gsel * GROUP)
+    else:
+        cand = jnp.take_along_axis(
+            rank.reshape(b, ng, GROUP), gidx[:, :, None], axis=1
+        ).reshape(b, gsel * GROUP)
+    cand_slots = (
+        gidx[:, :, None] * GROUP
+        + jnp.arange(GROUP, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, gsel * GROUP)
+    slots, ranks, sel_ok = select_ops.exact_top_c_slots(cand, cand_slots, c=c)
+
+    # HIGHEST-precision rerank of the C winners (exact storage-dtype scores,
+    # (score desc, slot asc) order) — maxsim_subset_topk_batch contract
+    slot_ok = jnp.isfinite(ranks) & (slots >= 0)
+    top_slots, scores, sub_ok = maxsim_subset_topk_batch(
+        tokens, token_counts, jnp.maximum(slots, 0), slot_ok, qtok, qmask,
+        metric=metric, limit=limit)
+    ok = sel_ok & g_ok & sub_ok & bound_ok
+    return top_slots, scores, ok
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "limit"))
 def maxsim_subset_topk_batch(tokens, token_counts, slots, slot_ok, qtok, qmask, *,
                              metric: str, limit: int):
