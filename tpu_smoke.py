@@ -147,6 +147,15 @@ def main():
         assert abs(r.score - w[1]) < 1e-3, (r.id, r.score, w)
     print(f"[smoke] fused maxsim parity ok ({time.time()-t0:.0f}s)", flush=True)
 
+    # ---- MUVERA-FDE candidate generation (device doc encoder + fused
+    # candidate scan + exact subset rerank) recalls the exact MaxSim scan
+    fexact = [r.id for r in fres]
+    ffast = [r.id for r in mvf.multi_vector_search(fq, limit=5, candidates=64)]
+    overlap = len(set(fexact) & set(ffast)) / 5
+    assert overlap >= 0.8, f"muvera-fde overlap {overlap}"
+    print(f"[smoke] muvera-fde candidates ok (overlap {overlap:.2f}, "
+          f"{time.time()-t0:.0f}s)", flush=True)
+
     # ---- snapshot round-trip
     import tempfile
 

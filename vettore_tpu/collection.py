@@ -394,6 +394,24 @@ class _VectorCache:
             self._index_tables[key] = _prefix_xsq(x, dims=dims)
         return self._index_tables[key]
 
+    def fde(self, cfg):
+        """Device MUVERA document-FDE block for candidate generation:
+        ``(fde [cap, W] bf16, xsq [cap] f32, bias [cap] f32)`` — encoded
+        on device from the resident token block (ops/muvera_fde), built
+        once per cache generation per config. bf16 residency keeps a
+        1M x 2048 FDE block at ~4 GB next to the 7.6 GB token block."""
+        from .ops import muvera_fde
+
+        key = ("fde", muvera_fde.config_key(cfg))
+        if key not in self._index_tables:
+            tokens, counts = self.multi_vectors()
+            block = muvera_fde.encode_documents_device(tokens, counts, cfg)
+            fde16 = block.astype(jnp.bfloat16)
+            xsq = jnp.sum(fde16.astype(jnp.float32) ** 2, axis=1)
+            bias = jnp.where(self.valid_mask(), 0.0, jnp.inf).astype(jnp.float32)
+            self._index_tables[key] = (fde16, xsq, bias)
+        return self._index_tables[key]
+
     def index_slot_table(self, index):
         """Device int32 table mapping an index's internal slots to cache
         (lex) slots, ``2**31 - 1`` where an index slot's id is absent from
@@ -1418,9 +1436,17 @@ class Collection:
         return [self._to_result(cache.by_id[id], raw) for id, raw in final]
 
     @observed("multi_vector_search")
-    def multi_vector_search(self, query_vectors, *, limit=10, metric=None, **extra) -> list:
+    def multi_vector_search(self, query_vectors, *, limit=10, metric=None,
+                            candidates=None, muvera=None, **extra) -> list:
         """ColBERT MaxSim late interaction over multi-vector records
-        (collection.ex:311-323,742-760)."""
+        (collection.ex:311-323,742-760).
+
+        ``candidates`` (TPU-native extension): route through the MUVERA FDE
+        candidate generator (muvera.rs:26-74 encodings built on device at
+        ingest) and exact-MaxSim-rerank only the top-``candidates`` docs —
+        ~25x fewer FLOPs than the exact sweep at 1M x 32 x 128. ``muvera``
+        optionally overrides the FDE config (same keys as the public
+        encoders). Omitted = the exact full scan."""
         _reject_extra(extra)
         _validate_limit(limit)
         metric = normalize_metric(metric) if metric is not None else self.metric
@@ -1428,6 +1454,10 @@ class Collection:
             raise E.InvalidMetric(f"invalid metric: {metric!r}")
         self.ensure_open()
         queries = self._prepare_query_vectors(query_vectors)
+        if candidates is not None or muvera is not None:
+            return self.multi_vector_search_batch(
+                [query_vectors], limit=limit, metric=metric,
+                candidates=candidates, muvera=muvera)[0]
         if self.mesh is not None:
             return self.multi_vector_search_batch(
                 [query_vectors], limit=limit, metric=metric)[0]
@@ -1479,6 +1509,46 @@ class Collection:
             qmask[i, : p.shape[0]] = True
         return qtok, qmask
 
+    def _mv_fde_pipeline(self, cache, tokens, counts, qtok, qmask, *, metric,
+                         candidates, cfg, k):
+        """MUVERA candidate generation + exact subset rerank: bit-exact
+        host-encoded query FDEs (the public encoder, muvera.rs sum mode),
+        one device FDE-block scan for the top-C slots, then exact MaxSim of
+        the C winners (storage-exact scores, (score desc, slot asc) order).
+        Returns host ``(slots [B, k], scores [B, k], ok [B])``."""
+        from .ops import muvera_fde
+
+        fde16, fde_xsq, fde_bias = cache.fde(cfg)
+        b = qtok.shape[0]
+        qfde = np.zeros((b, int(fde16.shape[1])), np.float32)
+        nonempty = [i for i in range(b) if qmask[i].any()]
+        if nonempty:
+            # empty query sets keep the zero FDE: every doc ranks 0 and the
+            # exact rerank scores them 0.0, the reference's empty-side rule
+            enc = muvera_fde.encode_query_sets_host(
+                [qtok[i][qmask[i]] for i in nonempty], cfg)
+            for row, i in zip(enc, nonempty):
+                qfde[i] = row
+        c_eff = min(_pow2_at_least(candidates, 64), cache.cap)
+        cand_slots, cand_ok = muvera_fde.fde_candidates(
+            fde16, fde_xsq, fde_bias, jnp.asarray(qfde), count=c_eff)
+        slot_ok = cand_slots >= 0
+        # bound the [B, C, T, d] rerank gather by chunking the query batch
+        t, d = int(tokens.shape[1]), int(tokens.shape[2])
+        per_q = c_eff * t * d * tokens.dtype.itemsize
+        qchunk = max(1, min(b, (512 * 2**20) // max(per_q, 1)))
+        qtok_dev, qmask_dev = jnp.asarray(qtok), jnp.asarray(qmask)
+        parts = []
+        for s in range(0, b, qchunk):
+            e = min(b, s + qchunk)
+            parts.append(maxsim_ops.maxsim_subset_topk_batch(
+                tokens, counts, jnp.maximum(cand_slots[s:e], 0), slot_ok[s:e],
+                qtok_dev[s:e], qmask_dev[s:e], metric=metric, limit=k))
+        slots = jnp.concatenate([p[0] for p in parts])
+        scores = jnp.concatenate([p[1] for p in parts])
+        ok = jnp.concatenate([p[2] for p in parts]) & cand_ok
+        return jax.device_get((slots, scores, ok))
+
     def _mv_slots_to_results(self, cache, slots, scores, metric) -> list:
         results = []
         for slot, score in zip(slots, scores):
@@ -1493,17 +1563,36 @@ class Collection:
 
     @observed("multi_vector_search_batch")
     def multi_vector_search_batch(self, query_sets, *, limit=10, metric=None,
-                                  **extra) -> list:
+                                  candidates=None, muvera=None, **extra) -> list:
         """Batched ColBERT MaxSim over the full corpus: one query token set
         per batch element (ragged ok), one chunked device scan for the whole
         batch. Doc chunks stream through the similarity kernel, so the corpus
         is bounded by the token block's HBM footprint (bf16-resident when
-        lossless), not by any [D, Q, T] intermediate."""
+        lossless), not by any [D, Q, T] intermediate.
+
+        ``candidates``/``muvera``: MUVERA-FDE candidate generation + exact
+        subset rerank (see :meth:`multi_vector_search`). On a mesh the
+        sharded exact scan serves these requests (a strict quality upper
+        bound of the approximate path)."""
         _reject_extra(extra)
         _validate_limit(limit)
         metric = normalize_metric(metric) if metric is not None else self.metric
         if metric not in METRICS:
             raise E.InvalidMetric(f"invalid metric: {metric!r}")
+        fde_cfg = None
+        if candidates is not None:
+            from .ops import muvera_fde
+
+            if (not isinstance(candidates, int) or isinstance(candidates, bool)
+                    or candidates <= 0):
+                raise E.InvalidCandidates(candidates)
+            if metric not in muvera_fde.FDE_METRICS:
+                raise E.InvalidMuveraConfig(
+                    "muvera candidate generation requires a dot-family "
+                    f"metric, got {metric!r}")
+            fde_cfg = muvera_fde.normalize_config(muvera, self.dimensions)
+        elif muvera is not None:
+            raise E.InvalidMuveraConfig("muvera config requires candidates")
         self.ensure_open()
         if not isinstance(query_sets, (list, tuple)):
             raise E.InvalidMultiVector("invalid multi vector")
@@ -1516,6 +1605,21 @@ class Collection:
         tokens, counts = cache.multi_vectors()
         valid = cache.valid_mask()
         k = min(limit, cache.n)
+        if (fde_cfg is not None and self.mesh is None
+                and candidates < cache.n):
+            # candidates >= n is the exact scan by definition — fall through
+            slots, scores, ok = self._mv_fde_pipeline(
+                cache, tokens, counts, qtok, qmask, metric=metric,
+                candidates=candidates, cfg=fde_cfg, k=k)
+            out = []
+            for b in range(len(query_sets)):
+                if not bool(ok[b]):
+                    out.append(self._multi_vector_host(
+                        cache, None, qtok[b][qmask[b]], metric, limit))
+                else:
+                    out.append(self._mv_slots_to_results(
+                        cache, slots[b], scores[b], metric))
+            return out
         chunk = _mv_chunk(cache.cap, qtok.shape[0], qtok.shape[1], tokens.shape[1])
         if self.mesh is not None:
             from .parallel import adaptive_mesh as amesh

@@ -357,9 +357,10 @@ def _stage_rank(dots, xsq, qsq, *, metric):
 
 
 def _stage_gmin_body(x_ref, xsq_ref, bias_ref, qt_ref, qsq_ref,
-                     gmin_ref, rank_ref, *, metric):
+                     gmin_ref, rank_ref, *, metric, fast):
     dots = jnp.dot(x_ref[:], qt_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # [T, B]
+                   precision=None if fast else jax.lax.Precision.HIGHEST,
+                   )  # [T, B]
     rank = _stage_rank(dots, xsq_ref[:], qsq_ref[:], metric=metric)
     # overflow posture as _gmin_body: no in-kernel finiteness pass — the
     # wrapper's Cauchy-Schwarz norm bound proves every rank finite, and
@@ -383,16 +384,21 @@ def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
     rank matrix is written once (never re-read for the group minima)."""
     n = x.shape[0]
     b = q.shape[0]
+    fast = x.dtype == jnp.bfloat16
     qp = q[:, :dims].astype(jnp.float32)
     qsq = jnp.sum(qp * qp, axis=1)[None, :]  # [1, B]
-    qt = qp.T
+    # bf16 storage: the query transpose matches the block dtype (mixed-dtype
+    # MXU dots are a Mosaic hazard) and the matmul runs at native precision —
+    # the bf16-funnel/FDE posture (selection carries storage noise, winners
+    # rescore exactly downstream)
+    qt = (qp.astype(jnp.bfloat16) if fast else qp).T
     xsq_max = jnp.max(xsq)
     qlog = 0.5 * jnp.log(jnp.maximum(qsq, 1e-30))
     xlog = 0.5 * jnp.log(jnp.maximum(xsq_max, 1e-30))
     bounded = jnp.all(
         (qsq < _SAFE_LIM) & (xsq_max < _SAFE_LIM) & (qlog + xlog < _SAFE_LOG))
     tiles = n // row_tile
-    kernel = functools.partial(_stage_gmin_body, metric=metric)
+    kernel = functools.partial(_stage_gmin_body, metric=metric, fast=fast)
     gmin, rank = pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -426,7 +432,8 @@ def _stage_gmin_scan(x, xsq, bias, q, *, metric, dims, row_tile):
 def fused_stage_candidates(x, xsq, bias, q, *, metric, count, dims):
     """Exact top-``count`` candidate slots by the true prefix metric.
 
-    ``x`` [N, d] f32 (lex-sorted cache block), ``xsq`` [N] f32 PREFIX squared
+    ``x`` [N, d] f32 or bf16 (lex-sorted cache block; bf16 selects at
+    storage precision — the flat bf16 posture), ``xsq`` [N] f32 PREFIX squared
     norms (over the first ``dims`` columns), ``bias`` [N] f32 (0 valid /
     +inf invalid), ``q`` [B, d] f32. Returns ``(slots [B, count] i32
     best-first by (rank, slot), ranks [B, count] f32, ok [B])``; ok False =
