@@ -918,6 +918,29 @@ def run_hybrid_mv(detail, n, prime):
     mv_col.multi_vector_search_batch(qsets[qb : 2 * qb], limit=10)
     mv_qps = qb / (time.perf_counter() - t0)
 
+    # MUVERA-FDE accelerated MaxSim (candidates + exact subset rerank):
+    # first call pays the device doc-FDE encode, then steady-state QPS
+    fde_detail = None
+    try:
+        t0 = time.perf_counter()
+        fde_hits = mv_col.multi_vector_search_batch(qsets[:qb], limit=10,
+                                                    candidates=512)
+        fde_first_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mv_col.multi_vector_search_batch(qsets[qb : 2 * qb], limit=10,
+                                         candidates=512)
+        fde_qps = qb / (time.perf_counter() - t0)
+        fde_overlap = float(np.mean([
+            len({r.id for r in row} & {r.id for r in ex}) / 10
+            for row, ex in zip(fde_hits, exact)
+        ]))
+        fde_detail = {"candidates": 512, "qps": round(fde_qps, 1),
+                      "first_call_s": round(fde_first_s, 1),
+                      "overlap_at_10_vs_exact_maxsim": round(fde_overlap, 4)}
+    except Exception as exc:
+        detail["skipped"].append(f"muvera_fde_error:{type(exc).__name__}")
+        _phase(f"muvera-fde failed: {exc}")
+
     lat = []
     for i in range(4):
         lo = (i % 2) * qb  # rotate halves so no dispatch repeats its inputs
@@ -935,6 +958,8 @@ def run_hybrid_mv(detail, n, prime):
         "exact_maxsim_qps": round(mv_qps, 1),
         "overlap_at_10_vs_exact_maxsim": round(float(np.mean(agree)), 4),
     }
+    if fde_detail is not None:
+        detail["hybrid_maxsim_mmr"]["muvera_fde"] = fde_detail
     _phase(f"hybrid+maxsim+mmr {detail['hybrid_maxsim_mmr']}")
     mv_col.close()
 

@@ -405,9 +405,9 @@ class _VectorCache:
         key = ("fde", muvera_fde.config_key(cfg))
         if key not in self._index_tables:
             tokens, counts = self.multi_vectors()
-            block = muvera_fde.encode_documents_device(tokens, counts, cfg)
-            fde16 = block.astype(jnp.bfloat16)
-            xsq = jnp.sum(fde16.astype(jnp.float32) ** 2, axis=1)
+            fde16 = muvera_fde.encode_documents_device(
+                tokens, counts, cfg, out_dtype=jnp.bfloat16)
+            xsq = muvera_fde.block_sq_norms(fde16)
             bias = jnp.where(self.valid_mask(), 0.0, jnp.inf).astype(jnp.float32)
             self._index_tables[key] = (fde16, xsq, bias)
         return self._index_tables[key]
@@ -852,6 +852,17 @@ class Collection:
         validate_vector(list(vector) if not isinstance(vector, np.ndarray) else vector)
 
     def put(self, item) -> None:
+        """Inserts or replaces one record (dict or :class:`Embedding`).
+
+        >>> import vettore_tpu as vt
+        >>> col = vt.Collection(name="doc-put", dimensions=2, index="flat")
+        >>> col.put({"id": "a", "vector": [1.0, 0.0], "metadata": {"k": 1}})
+        >>> col.get("a").metadata
+        {'k': 1}
+        >>> col.count()
+        1
+        >>> col.close()
+        """
         self.put_many([item])
 
     @observed("put_many")
@@ -1110,7 +1121,19 @@ class Collection:
 
     @observed("search")
     def search(self, query, *, limit=10, **extra) -> list:
-        """Index search (exact flat scan or HNSW ANN)."""
+        """Index search (exact flat scan or HNSW ANN).
+
+        >>> import vettore_tpu as vt
+        >>> col = vt.Collection(name="doc-search", dimensions=2,
+        ...                     metric="cosine", index="flat")
+        >>> col.put_many([{"id": "east", "vector": [1.0, 0.0]},
+        ...               {"id": "north", "vector": [0.0, 1.0]}])
+        >>> [r.id for r in col.search([0.9, 0.1], limit=2)]
+        ['east', 'north']
+        >>> round(col.search([1.0, 0.0], limit=1)[0].score, 3)
+        1.0
+        >>> col.close()
+        """
         _reject_extra(extra)
         _validate_limit(limit)
         q = self.prepare_query(query)
@@ -1148,7 +1171,18 @@ class Collection:
     def funnel_search(self, query, *, limit=10, candidates=None, stages=None, dimensions=None,
                       **extra) -> list:
         """Matryoshka funnel: prefix-staged candidate narrowing + exact rerank
-        (collection.ex:244-260,660-691)."""
+        (collection.ex:244-260,660-691).
+
+        >>> import vettore_tpu as vt
+        >>> col = vt.Collection(name="doc-funnel", dimensions=4,
+        ...                     metric="cosine", index="flat")
+        >>> col.put_many([{"id": "a", "vector": [1.0, 0.0, 0.0, 0.0]},
+        ...               {"id": "b", "vector": [0.0, 1.0, 0.0, 0.0]}])
+        >>> [r.id for r in col.funnel_search([1.0, 0.1, 0.0, 0.0],
+        ...                                  stages=[2, 4], limit=1)]
+        ['a']
+        >>> col.close()
+        """
         _reject_extra(extra)
         _validate_limit(limit)
         if candidates is None:
@@ -1394,7 +1428,18 @@ class Collection:
 
     @observed("quantized_search")
     def quantized_search(self, query, *, limit=10, candidates=None, **extra) -> list:
-        """Sign-bit Hamming candidates + exact rerank (collection.ex:274-295)."""
+        """Sign-bit Hamming candidates + exact rerank (collection.ex:274-295).
+
+        >>> import vettore_tpu as vt
+        >>> col = vt.Collection(name="doc-quant", dimensions=4,
+        ...                     metric="cosine", index="flat")
+        >>> col.put_many([{"id": "pos", "vector": [1.0, 1.0, 1.0, 1.0]},
+        ...               {"id": "neg", "vector": [-1.0, -1.0, -1.0, -1.0]}])
+        >>> [r.id for r in col.quantized_search([1.0, 1.0, 0.9, 1.0],
+        ...                                     candidates=2, limit=1)]
+        ['pos']
+        >>> col.close()
+        """
         _reject_extra(extra)
         _validate_limit(limit)
         if candidates is None:
@@ -1446,7 +1491,21 @@ class Collection:
         ingest) and exact-MaxSim-rerank only the top-``candidates`` docs —
         ~25x fewer FLOPs than the exact sweep at 1M x 32 x 128. ``muvera``
         optionally overrides the FDE config (same keys as the public
-        encoders). Omitted = the exact full scan."""
+        encoders). Omitted = the exact full scan.
+
+        >>> import vettore_tpu as vt
+        >>> col = vt.Collection(name="doc-mv", dimensions=2, metric="cosine")
+        >>> col.put_many([
+        ...     {"id": "a", "vectors": [[1.0, 0.0], [0.9, 0.1]]},
+        ...     {"id": "b", "vectors": [[0.0, 1.0]]},
+        ... ])
+        >>> res = col.multi_vector_search([[1.0, 0.0]], limit=2)
+        >>> [r.id for r in res]
+        ['a', 'b']
+        >>> round(res[0].score, 2)  # best token similarity, summed
+        1.0
+        >>> col.close()
+        """
         _reject_extra(extra)
         _validate_limit(limit)
         metric = normalize_metric(metric) if metric is not None else self.metric
@@ -1663,7 +1722,18 @@ class Collection:
     @observed("hybrid_search")
     def hybrid_search(self, query, *, limit=10, generators=None, rerank="exact",
                       **extra) -> list:
-        """Candidate-generator union + rerank (collection.ex:337-348,516-658)."""
+        """Candidate-generator union + rerank (collection.ex:337-348,516-658).
+
+        >>> import vettore_tpu as vt
+        >>> col = vt.Collection(name="doc-hybrid", dimensions=2,
+        ...                     metric="cosine", index="flat")
+        >>> col.put_many([{"id": "a", "vector": [1.0, 0.0]},
+        ...               {"id": "b", "vector": [0.0, 1.0]}])
+        >>> [r.id for r in col.hybrid_search([1.0, 0.2], limit=1,
+        ...                                  generators=["funnel", "quantized"])]
+        ['a']
+        >>> col.close()
+        """
         _reject_extra(extra)
         _validate_limit(limit)
         if generators is None:
@@ -2093,6 +2163,19 @@ class Collection:
     # ------------------------------------------------------------------
 
     def snapshot(self, path: str) -> None:
+        """Atomic checksummed snapshot (tmp write + rename, store/ets.ex:29-45).
+
+        >>> import tempfile, os
+        >>> import vettore_tpu as vt
+        >>> col = vt.Collection(name="doc-snap", dimensions=2, index="flat")
+        >>> col.put({"id": "a", "vector": [1.0, 0.0]})
+        >>> d = tempfile.mkdtemp()
+        >>> col.snapshot(os.path.join(d, "c.vsnap"))
+        >>> loaded = vt.load_snapshot(os.path.join(d, "c.vsnap"))
+        >>> [r.id for r in loaded.search([1.0, 0.0], limit=1)]
+        ['a']
+        >>> loaded.close(); col.close()
+        """
         if not isinstance(path, str):
             raise E.InvalidSnapshot("invalid snapshot path")
         self.ensure_open()

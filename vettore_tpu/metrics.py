@@ -48,7 +48,15 @@ MAX_USIZE = 4_294_967_295
 
 
 def normalize_metric(metric):
-    """Resolves aliases to canonical metric names; passes everything else through."""
+    """Resolves aliases to canonical metric names; passes everything else through.
+
+    >>> normalize_metric("euclidean")
+    'l2'
+    >>> normalize_metric("dot")
+    'inner_product'
+    >>> normalize_metric("cosine")
+    'cosine'
+    """
     return _ALIASES.get(metric, metric)
 
 
@@ -65,6 +73,15 @@ def validate_metric(metric) -> str:
 
 
 def metric_code(metric) -> int:
+    """Wire code 0..8 of a metric (distances.rs:25-38 schema).
+
+    >>> metric_code("l2")
+    0
+    >>> metric_code("jaccard")
+    8
+    >>> metric_code("euclidean")  # aliases resolve first
+    0
+    """
     return _CODES[validate_metric(metric)]
 
 
@@ -75,7 +92,15 @@ def metric_from_code(code: int) -> str:
 
 
 def rank_value(metric: str, raw: float) -> float:
-    """Converts a raw metric value into ascending rank order (lower = better)."""
+    """Converts a raw metric value into ascending rank order (lower = better).
+
+    >>> rank_value("cosine", 0.75)
+    0.25
+    >>> rank_value("inner_product", 3.0)
+    -3.0
+    >>> rank_value("l2", 2.0)
+    2.0
+    """
     if metric == "cosine":
         return 1.0 - raw
     if metric == "inner_product":
@@ -84,7 +109,15 @@ def rank_value(metric: str, raw: float) -> float:
 
 
 def similarity_value(metric: str, raw: float) -> float:
-    """Converts a raw metric value into a higher-is-better similarity."""
+    """Converts a raw metric value into a higher-is-better similarity.
+
+    >>> similarity_value("cosine", 0.75)
+    0.75
+    >>> similarity_value("negative_inner_product", -3.0)
+    3.0
+    >>> similarity_value("l2", 1.0)
+    0.5
+    """
     if metric in ("cosine", "inner_product"):
         return raw
     if metric == "negative_inner_product":
@@ -105,6 +138,17 @@ def result_values(metric, raw: float, score_mode: str = "raw"):
       inner_product ``(raw, -raw)``
     * distance metric, similarity mode: ``(1/(1+raw), raw)``
     * unknown metric: ``(raw, None)``
+
+    >>> result_values("cosine", 0.5)
+    (0.5, 0.5)
+    >>> result_values("cosine", 0.5, "similarity")
+    (0.75, 0.5)
+    >>> result_values("l2", 3.0)
+    (-3.0, 3.0)
+    >>> result_values("l2", 3.0, "similarity")
+    (0.25, 3.0)
+    >>> result_values("negative_inner_product", -2.0)
+    (2.0, -2.0)
     """
     raw = float(raw)
     if metric == "negative_inner_product" and score_mode in ("raw", "similarity"):
@@ -126,5 +170,11 @@ def result_values(metric, raw: float, score_mode: str = "raw"):
 
 def default_normalize(metric: str) -> str:
     """Cosine collections default to l2 normalization; everything else to none
-    (/root/reference/lib/vettore/collection.ex:1317-1319)."""
+    (/root/reference/lib/vettore/collection.ex:1317-1319).
+
+    >>> default_normalize("cosine")
+    'l2'
+    >>> default_normalize("l2")
+    'none'
+    """
     return "l2" if metric == "cosine" else "none"

@@ -86,8 +86,10 @@ def observed(op: str):
 def trace(log_dir: str):
     """Captures a device trace viewable in XProf/TensorBoard:
 
-    >>> with vettore_tpu.observability.trace("/tmp/trace"):
-    ...     collection.search_batch(queries, limit=10)
+    >>> import tempfile
+    >>> from vettore_tpu.observability import trace
+    >>> with trace(tempfile.mkdtemp()):
+    ...     pass  # run searches here; the trace lands in the log dir
     """
     import jax
 

@@ -121,6 +121,13 @@ def compute(metric, left, right) -> float:
     that for ``cosine`` this returns the plain inner product — the collection
     pipeline stores L2-normalized vectors, so dot *is* cosine there
     (distances.rs:51).
+
+    >>> compute("l2", [0.0, 0.0], [3.0, 4.0])
+    5.0
+    >>> compute("euclidean", [0.0, 0.0], [3.0, 4.0])  # metric aliases work
+    5.0
+    >>> compute("cosine", [1.0, 2.0], [3.0, 4.0])  # plain dot (see above)
+    11.0
     """
     metric = validate_metric(metric)
     validate_pair(left, right)
@@ -131,42 +138,94 @@ def compute(metric, left, right) -> float:
 
 
 def l2(left, right) -> float:
+    """Euclidean distance.
+
+    >>> l2([0.0, 0.0], [3.0, 4.0])
+    5.0
+    """
     return compute("l2", left, right)
 
 
 def l2_squared(left, right) -> float:
+    """Squared Euclidean distance (monotonic in :func:`l2`, cheaper).
+
+    >>> l2_squared([0.0, 0.0], [3.0, 4.0])
+    25.0
+    """
     return compute("l2_squared", left, right)
 
 
 def inner_product(left, right) -> float:
+    """Plain dot product (higher is better).
+
+    >>> inner_product([1.0, 2.0], [3.0, 4.0])
+    11.0
+    """
     return compute("inner_product", left, right)
 
 
 def negative_inner_product(left, right) -> float:
+    """Negated dot product (lower is better — a distance-style IP).
+
+    >>> negative_inner_product([1.0, 2.0], [3.0, 4.0])
+    -11.0
+    """
     return compute("negative_inner_product", left, right)
 
 
 def manhattan(left, right) -> float:
+    """L1 distance.
+
+    >>> manhattan([0.0, 0.0], [3.0, -4.0])
+    7.0
+    """
     return compute("manhattan", left, right)
 
 
 def chebyshev(left, right) -> float:
+    """L-infinity distance.
+
+    >>> chebyshev([0.0, 0.0], [3.0, -4.0])
+    4.0
+    """
     return compute("chebyshev", left, right)
 
 
 def hamming(left, right) -> float:
+    """Elementwise disagreement count over f32 values.
+
+    >>> hamming([1.0, 2.0, 3.0], [1.0, 0.0, 3.0])
+    1.0
+    """
     return compute("hamming", left, right)
 
 
 def jaccard(left, right) -> float:
+    """Jaccard distance over non-zero supports.
+
+    >>> jaccard([1.0, 1.0, 0.0, 0.0], [1.0, 0.0, 1.0, 0.0])
+    0.6666666865348816
+    >>> jaccard([0.0], [0.0])
+    0.0
+    """
     return compute("jaccard", left, right)
 
 
 def euclidean(left, right) -> float:
+    """Alias of :func:`l2` (the reference's ``:euclidean`` metric alias).
+
+    >>> euclidean([0.0, 0.0], [3.0, 4.0])
+    5.0
+    """
     return l2(left, right)
 
 
 def dot_product(left, right) -> float:
+    """Alias of :func:`inner_product` (the reference's ``:dot`` alias).
+
+    >>> dot_product([1.0, 2.0], [3.0, 4.0])
+    11.0
+    """
     return inner_product(left, right)
 
 
@@ -175,6 +234,13 @@ def true_cosine(left, right) -> float:
 
     Equivalent of ``distances::cosine`` (distances.rs:160-177): zero-norm
     inputs yield 0.0 and the result is clamped to [-1, 1].
+
+    >>> true_cosine([1.0, 0.0], [2.0, 0.0])
+    1.0
+    >>> true_cosine([1.0, 0.0], [0.0, 5.0])
+    0.0
+    >>> true_cosine([0.0, 0.0], [1.0, 1.0])
+    0.0
     """
     validate_pair(left, right)
     a, b = _as_f64(left), _as_f64(right)
@@ -195,6 +261,11 @@ def cosine(left, right, normalize: str = "l2") -> float:
     With ``normalize="l2"`` (default) this is true cosine in [-1, 1]; with
     ``normalize="none"`` it is the plain inner product; other modes normalize
     both sides first and then take the inner product.
+
+    >>> cosine([2.0, 0.0], [1.0, 0.0])
+    1.0
+    >>> cosine([2.0, 0.0], [1.0, 0.0], normalize="none")
+    2.0
     """
     if normalize not in NORMALIZATIONS:
         raise UnknownNormalization(normalize)
@@ -218,6 +289,15 @@ def normalize_vector(vector, method: str) -> list:
     * ``l2``: unit norm; zero vectors stay zero
     * ``zscore``: population z-score; constant vectors become zero
     * ``minmax``: rescale to [0, 1]; constant vectors become zero
+
+    >>> normalize_vector([3.0, 4.0], "l2")
+    [0.6000000238418579, 0.800000011920929]
+    >>> normalize_vector([1.0, 3.0], "minmax")
+    [0.0, 1.0]
+    >>> normalize_vector([5.0, 5.0], "zscore")
+    [0.0, 0.0]
+    >>> normalize_vector([1.5, -2.0], "none")
+    [1.5, -2.0]
     """
     if method not in NORMALIZATIONS:
         raise UnknownNormalization(method)

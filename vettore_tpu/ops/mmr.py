@@ -44,7 +44,19 @@ def _pair_similarity(metric: str, a: np.ndarray, b: np.ndarray) -> float:
 
 
 def mmr_rerank(initial, embeddings, metric, alpha, final_k) -> list:
-    """Returns the reranked ``[(id, query_score)]`` prefix of length ≤ final_k."""
+    """Returns the reranked ``[(id, query_score)]`` prefix of length ≤ final_k.
+
+    ``alpha=1.0`` is pure relevance (input order preserved); lower alpha
+    trades relevance for diversity against already-selected items.
+
+    >>> pool = [("a", [1.0, 0.0]), ("b", [0.99, 0.01]), ("c", [0.0, 1.0])]
+    >>> mmr_rerank([("a", 0.9), ("b", 0.89), ("c", 0.3)], pool,
+    ...            "cosine", 1.0, 2)
+    [('a', 0.9), ('b', 0.89)]
+    >>> mmr_rerank([("a", 0.9), ("b", 0.89), ("c", 0.3)], pool,
+    ...            "cosine", 0.3, 2)  # diversity pulls in the orthogonal c
+    [('a', 0.9), ('c', 0.3)]
+    """
     if (
         not isinstance(initial, list)
         or not isinstance(embeddings, list)

@@ -249,12 +249,32 @@ def _count_sketch(values: np.ndarray, final_dim: int, seed: int) -> np.ndarray:
 
 
 def encode_query(vectors, config=None) -> list:
-    """Query FDE: vectors sum within each partition."""
+    """Query FDE: vectors sum within each partition.
+
+    Deterministic and permutation-invariant — the same token set encodes
+    to the same vector regardless of order:
+
+    >>> cfg = {"num_repetitions": 2, "num_simhash_projections": 2, "seed": 7}
+    >>> a = encode_query([[1.0, 2.0], [3.0, -1.0]], cfg)
+    >>> len(a)  # reps * 2**simhash * dims
+    16
+    >>> a == encode_query([[3.0, -1.0], [1.0, 2.0]], cfg)
+    True
+    >>> a == encode_query([[1.0, 2.0], [3.0, -1.0]], {**cfg, "seed": 8})
+    False
+    """
     return _encode(vectors, config, "query")
 
 
 def encode_document(vectors, config=None) -> list:
-    """Document FDE: vectors average within each partition."""
+    """Document FDE: vectors average within each partition.
+
+    >>> cfg = {"num_repetitions": 1, "num_simhash_projections": 0, "seed": 7}
+    >>> encode_document([[2.0, 4.0], [4.0, 8.0]], cfg)  # one partition: mean
+    [3.0, 6.0]
+    >>> encode_query([[2.0, 4.0], [4.0, 8.0]], cfg)  # query mode: sum
+    [6.0, 12.0]
+    """
     return _encode(vectors, config, "document")
 
 
@@ -358,7 +378,16 @@ def _encode_batch(vector_sets, config, mode: str) -> np.ndarray:
 
 def encode_queries(vector_sets, config=None) -> np.ndarray:
     """Batch query FDEs: ``[len(vector_sets), fde_dim]`` float32, row i equal
-    to ``encode_query(vector_sets[i], config)``."""
+    to ``encode_query(vector_sets[i], config)``.
+
+    >>> cfg = {"num_repetitions": 1, "num_simhash_projections": 1, "seed": 3}
+    >>> batch = encode_queries([[[1.0, 0.0]], [[0.0, 1.0]]], cfg)
+    >>> batch.shape
+    (2, 4)
+    >>> (batch[0] == np.asarray(encode_query([[1.0, 0.0]], cfg),
+    ...                         np.float32)).all()
+    np.True_
+    """
     return _encode_batch(vector_sets, config, "query")
 
 

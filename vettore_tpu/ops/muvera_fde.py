@@ -131,9 +131,10 @@ def _sketch_constants(cfg: dict):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reps", "simhash", "pd", "identity", "final", "out_pad"))
+    static_argnames=("reps", "simhash", "pd", "identity", "final", "out_pad",
+                     "out_dtype"))
 def _encode_chunk(tokens, counts, w, s, sk_slots, sk_signs, *, reps, simhash,
-                  pd, identity, final, out_pad):
+                  pd, identity, final, out_pad, out_dtype):
     """One document chunk -> [chunk, out_pad] f32 FDEs (document mode:
     per-partition MEAN; empty partitions stay zero; zero-token docs encode
     to the zero vector, whose inner product is 0 — exactly their MaxSim
@@ -174,13 +175,22 @@ def _encode_chunk(tokens, counts, w, s, sk_slots, sk_signs, *, reps, simhash,
         out = sketch.at[:, sk_slots].add(sk_signs[None, :] * out)
     if out_pad > out.shape[1]:
         out = jnp.pad(out, ((0, 0), (0, out_pad - out.shape[1])))
-    return out
+    return out.astype(out_dtype)
 
 
-def encode_documents_device(tokens, counts, cfg: dict):
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
+def _place_chunk(out, piece, offset):
+    # donated in-place placement: the accumulating block never copies, so
+    # peak HBM during a 1M encode is one block + one chunk (not two blocks)
+    return jax.lax.dynamic_update_slice(out, piece, (offset, 0))
+
+
+def encode_documents_device(tokens, counts, cfg: dict, out_dtype=jnp.float32):
     """Document FDEs of a resident ``[cap, T, d]`` token block:
-    ``[cap, padded_width]`` f32 device array, chunked so intermediates stay
-    bounded. Pad slots (count 0) encode to zero rows."""
+    ``[cap, padded_width]`` device array in ``out_dtype``, chunked so
+    intermediates stay bounded (each chunk casts to the storage dtype
+    before placement — a full-width f32 block next to a 1M token block
+    would blow the 16 GB chip). Pad slots (count 0) encode to zero rows."""
     cap = int(tokens.shape[0])
     w, s = _rep_constants(cfg)
     w_dev = jnp.asarray(w) if w is not None else None
@@ -195,25 +205,21 @@ def encode_documents_device(tokens, counts, cfg: dict):
         identity=cfg["projection_dimension"] == cfg["dimension"],
         final=cfg["final_projection_dimension"],
         out_pad=padded_width(cfg),
+        out_dtype=jnp.dtype(out_dtype).name,
     )
     if cap <= _ENC_CHUNK:
         return _encode_chunk(tokens, counts, w_dev, s_dev, sk_slots_dev,
                              sk_signs_dev, **kwargs)
     chunk = _ENC_CHUNK
-    head = (cap // chunk) * chunk
-    pieces = [
-        _encode_chunk(
-            jax.lax.dynamic_slice_in_dim(tokens, i, chunk, 0),
-            jax.lax.dynamic_slice_in_dim(counts, i, chunk, 0),
+    out = jnp.zeros((cap, kwargs["out_pad"]), out_dtype)
+    for i in range(0, cap, chunk):
+        step = min(chunk, cap - i)
+        piece = _encode_chunk(
+            jax.lax.dynamic_slice_in_dim(tokens, i, step, 0),
+            jax.lax.dynamic_slice_in_dim(counts, i, step, 0),
             w_dev, s_dev, sk_slots_dev, sk_signs_dev, **kwargs)
-        for i in range(0, head, chunk)
-    ]
-    if head < cap:
-        pieces.append(_encode_chunk(
-            jax.lax.dynamic_slice_in_dim(tokens, head, cap - head, 0),
-            jax.lax.dynamic_slice_in_dim(counts, head, cap - head, 0),
-            w_dev, s_dev, sk_slots_dev, sk_signs_dev, **kwargs))
-    return jnp.concatenate(pieces, axis=0)
+        out = _place_chunk(out, piece, i)
+    return out
 
 
 def encode_query_sets_host(query_token_sets, cfg: dict) -> np.ndarray:
@@ -228,6 +234,24 @@ def encode_query_sets_host(query_token_sets, cfg: dict) -> np.ndarray:
     if out.shape[1] < pad:
         out = np.pad(out, ((0, 0), (0, pad - out.shape[1])))
     return out.astype(np.float32)
+
+
+@jax.jit
+def _sq_chunk(x):
+    return jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+
+
+def block_sq_norms(x):
+    """Row squared norms of a resident block as f32, chunked — a whole-block
+    f32 upcast of a 1M x 2048 bf16 block would transiently double-charge
+    HBM next to the token block."""
+    n = int(x.shape[0])
+    if n <= _ENC_CHUNK:
+        return _sq_chunk(x)
+    return jnp.concatenate([
+        _sq_chunk(jax.lax.dynamic_slice_in_dim(x, i, min(_ENC_CHUNK, n - i), 0))
+        for i in range(0, n, _ENC_CHUNK)
+    ])
 
 
 @functools.partial(jax.jit, static_argnames=("count",))

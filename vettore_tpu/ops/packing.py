@@ -22,14 +22,26 @@ U64_MAX = 18_446_744_073_709_551_615
 
 
 def words_for(dimensions: int) -> int:
-    """Number of u64 words for ``dimensions`` sign bits."""
+    """Number of u64 words for ``dimensions`` sign bits.
+
+    >>> words_for(64)
+    1
+    >>> words_for(65)
+    2
+    """
     return (dimensions + 63) // 64
 
 
 def compress_sign_bits(vector) -> list:
     """Packs vector signs into u64 words (``compress_sign_bits``,
     distances.rs:413-423). Bit ``i % 64`` of word ``i // 64`` is set when
-    ``vector[i] >= 0.0``."""
+    ``vector[i] >= 0.0``.
+
+    >>> compress_sign_bits([1.0, -2.0, 0.0, -0.5])
+    [5]
+    >>> compress_sign_bits([-1.0] * 64)
+    [0]
+    """
     validate_vector(vector)
     v = np.asarray(vector, dtype=np.float64)
     n = v.size
@@ -62,7 +74,13 @@ def _masked_words(words, dimensions) -> np.ndarray:
 
 
 def packed_hamming(left, right, dimensions: int) -> float:
-    """Hamming distance over packed u64 words (distances.rs:426-437)."""
+    """Hamming distance over packed u64 words (distances.rs:426-437).
+
+    >>> packed_hamming([0b1010], [0b0110], 4)
+    2.0
+    >>> packed_hamming([0xFF], [0x00], 4)  # bits past `dimensions` ignored
+    4.0
+    """
     _validate_packed_pair(left, right, dimensions)
     a = _masked_words(left, dimensions)
     b = _masked_words(right, dimensions)
@@ -71,7 +89,13 @@ def packed_hamming(left, right, dimensions: int) -> float:
 
 
 def packed_jaccard(left, right, dimensions: int) -> float:
-    """Jaccard distance over packed u64 words (distances.rs:440-457)."""
+    """Jaccard distance over packed u64 words (distances.rs:440-457).
+
+    >>> packed_jaccard([0b0011], [0b0110], 4)
+    0.6666666865348816
+    >>> packed_jaccard([0], [0], 4)
+    0.0
+    """
     _validate_packed_pair(left, right, dimensions)
     a = _masked_words(left, dimensions)
     b = _masked_words(right, dimensions)

@@ -25,6 +25,13 @@ def vector_top_k(vectors, query, metric, dimensions: int, limit: int) -> list:
     Prefix-aware: only the first ``dimensions`` coordinates are read
     (search.rs:38-73), enabling funnel staging. For the cosine metric the raw
     value is the true (renormalized) cosine of the prefixes (search.rs:56-58).
+
+    >>> vector_top_k([("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+    ...              [1.0, 0.1], "cosine", 2, 1)
+    [('a', 0.9950371980667114)]
+    >>> vector_top_k([("a", [1.0, 9.9]), ("b", [0.0, 9.9])],
+    ...              [1.0, 0.0], "l2", 1, 2)  # prefix: only dim 0 scored
+    [('a', 0.0), ('b', 1.0)]
     """
     if not isinstance(dimensions, int) or isinstance(dimensions, bool):
         raise InvalidVector("invalid prefix dimensions")
@@ -66,7 +73,13 @@ def _cosine_or_raw(metric: str, q: np.ndarray, v: np.ndarray) -> float:
 
 def binary_top_k(vectors, query_words, dimensions: int, limit: int) -> list:
     """Packed-Hamming scan over ``[(id, u64_words)]``; validates the query even
-    for an empty batch (search.rs:76-92)."""
+    for an empty batch (search.rs:76-92).
+
+    >>> binary_top_k([("a", [0b1100]), ("b", [0b1010])], [0b1000], 4, 2)
+    [('a', 1.0), ('b', 1.0)]
+    >>> binary_top_k([], [0b1000], 4, 5)
+    []
+    """
     _validate_packed_pair(query_words, query_words, dimensions)
     q = _masked_words(query_words, dimensions)
     expected = words_for(dimensions)
