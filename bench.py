@@ -684,9 +684,15 @@ def main():
                     qslices[i % len(qslices)], limit=10, candidates=cand)
 
             q_qps = timed_qps(quant_dispatch_dev, 12, batch)
+            sync_q = timed_sync_percentiles(quant_dispatch)
             detail["quantized"] = {"qps": round(q_qps, 1), "candidates": cand,
                                    "overlap_at_10": round(q_overlap, 4),
-                                   **timed_sync_percentiles(quant_dispatch)}
+                                   # p50/p99: device serving path (the basis
+                                   # flat/hnsw report); sync_*: whole Python
+                                   # API incl. tunnel query upload+hydration
+                                   **timed_percentiles(quant_dispatch_dev),
+                                   "sync_p50_ms": sync_q["p50_ms"],
+                                   "sync_p99_ms": sync_q["p99_ms"]}
             _phase(f"quantized {detail['quantized']}")
 
             stages = tuple(s for s in (128, 256, 384) if s <= d) or (d,)
@@ -707,10 +713,13 @@ def main():
                     candidates=fcand, stages=list(stages))
 
             f_qps = timed_qps(fun_dispatch_dev, 12, batch)
+            sync_f = timed_sync_percentiles(fun_dispatch)
             detail["funnel"] = {"qps": round(f_qps, 1), "stages": list(stages),
                                 "candidates": fcand,
                                 "overlap_at_10": round(f_overlap, 4),
-                                **timed_sync_percentiles(fun_dispatch)}
+                                **timed_percentiles(fun_dispatch_dev),
+                                "sync_p50_ms": sync_f["p50_ms"],
+                                "sync_p99_ms": sync_f["p99_ms"]}
             _phase(f"funnel {detail['funnel']}")
             col.close()
             del col, cache
@@ -746,6 +755,36 @@ def main():
             del f1, q1dev, q1slices
         except Exception as exc:
             detail["skipped"].append(f"config1_error:{type(exc).__name__}")
+
+    # ---- small/mid-scale latency matrix (bench/performance.md:27-31
+    # prescribes 384d & 768d x {1k, 10k, 100k}): dispatch RTT dominates at
+    # these sizes, which nothing else in the record guards
+    if not headline_only and not smoke and (prime or left() > 90):
+        for sn, sd in ((1_000, 384), (10_000, 384), (1_000, 768), (10_000, 768)):
+            try:
+                key = f"flat_{sn // 1000}k_{sd}"
+                if key in detail or (sn, sd) == (n, d):
+                    continue
+                sdata = cached_corpus(sn, sd, tag=f"s{sn}")
+                sq = make_queries(sdata, 2 * batch, seed=SEED + 31)
+                sf = FlatIndex("cosine")
+                sf.put_matrix([f"s-{i:06d}" for i in range(sn)], sdata)
+                sslices = staged_slices(jnp.asarray(sq.astype(np.float32)), batch)
+
+                def s_dispatch(i, f=sf, sl=sslices):
+                    return f.search_batch_device(sl[i % len(sl)], 10)
+
+                detail[key] = {
+                    "qps": round(timed_qps(s_dispatch, 24, batch), 1),
+                    **timed_percentiles(s_dispatch),
+                }
+                _phase(f"{key} {detail[key]}")
+                del sf, sslices
+                if left() < 60 and not prime:
+                    break
+            except Exception as exc:
+                detail["skipped"].append(
+                    f"small_scale_{sn}x{sd}_error:{type(exc).__name__}")
 
     # ---- hybrid -> MaxSim -> MMR (config 5) on the multi-vector corpus
     # (the full phase costs ~250-320 s: MV ingest + graph load + batched

@@ -44,6 +44,7 @@ from .ops import maxsim as maxsim_ops
 from .ops import pipeline as pipe
 from .ops import scan_host
 from .ops.distance import NORMALIZATIONS, normalize_rows, validate_vector
+from .ops.transport import put_f32_matrix
 from .ops.packing import (
     pack_signs_u32,
     pack_signs_u64_rows,
@@ -1240,8 +1241,10 @@ class Collection:
             ))
         else:
             B = prepared.shape[0]
+            # bf16-exact query batches ship as u16 halves (half the tunnel
+            # bytes; at batch 512 x 768 the f32 upload dominated sync p50)
             top, raws, ranks, finite = jax.device_get(pipe.funnel_pipeline_batch(
-                x, valid, jnp.asarray(prepared),
+                x, valid, put_f32_matrix(prepared),
                 self._funnel_stage_xsq(cache, stages, count),
                 metric=self.metric, stages=tuple(stages), count=count, limit=k,
             ))
@@ -1311,7 +1314,7 @@ class Collection:
         else:
             B = prepared.shape[0]
             top, raws, ranks, finite = jax.device_get(pipe.quantized_pipeline_batch(
-                x, signs, valid, jnp.asarray(prepared),
+                x, signs, valid, put_f32_matrix(prepared),
                 metric=self.metric, count=count, limit=k, d=self.dimensions,
             ))
         out = []
@@ -1865,7 +1868,7 @@ class Collection:
             from .parallel import adaptive_mesh as amesh
 
             prepared, B = self._mesh_pad_queries(prepared)
-        qdev = jnp.asarray(prepared.astype(np.float32))
+        qdev = put_f32_matrix(prepared.astype(np.float32, copy=False))
         B_pad = prepared.shape[0]
 
         blocks = []

@@ -31,6 +31,7 @@ from ..errors import (
 from ..metrics import METRICS, normalize_metric, rank_value
 from ..ops.distance import batched_raw_scores, rank_from_raw, validate_vector
 from ..ops.topk import bucket_limit, topk_slots
+from ..ops.transport import put_f32_matrix
 from .base import Index
 
 _MIN_CAP = 8
@@ -500,13 +501,13 @@ class FlatIndex(Index):
         k = bucket_limit(min(limit, len(self._slot_of)), self._cap)
         if self._fused_eligible(k):
             d_slots, d_raws, _d_ranks, d_fin = self._fused_dispatch(
-                jnp.asarray(qs, dtype=jnp.float32), k)
+                put_f32_matrix(qs.astype(np.float32)), k)
             packed = np.asarray(_pack_hits(d_slots, d_raws, d_fin))
             slots, raws, fin = _unpack_hits(packed, k)
             all_finite = np.repeat(fin, qs.shape[0])
         else:
             d_slots, d_raws, _d_ranks, d_fin_rows = _search_kernel_batch(
-                x, valid, lex_order, jnp.asarray(qs, dtype=jnp.float32),
+                x, valid, lex_order, put_f32_matrix(qs.astype(np.float32)),
                 self._xla_scale(), metric=self.metric, limit=k,
             )
             packed = np.asarray(_pack_hits(d_slots, d_raws, jnp.all(d_fin_rows)))

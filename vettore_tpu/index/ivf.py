@@ -290,7 +290,9 @@ class IvfIndex(Index):
 
         k = min(limit, len(self._mirror))
         kb = min(max(k, 1), max(len(self._block_slot_of), 1))
-        qdev = jnp.asarray(queries.astype(np.float32))
+        from ..ops.transport import put_f32_matrix
+
+        qdev = put_f32_matrix(queries.astype(np.float32))
         slots, raws, ranks = ivf_search(
             self._xb, self._xsq, self._bias, self._lex, self._bcb, self._csq,
             self._bbias, qdev, metric=self.metric,
