@@ -13,56 +13,24 @@ always rebuilt from it, README.md:14-16), and coarse mutation:
   the reference's batch-validation semantics) + a row-sharded device block.
   Deletes flip the device validity mask in place (one [cap]-bool transfer);
   inserts/replaces rebuild the shards lazily on the next search.
-* ``MeshHnswIndex`` — host mirror + per-shard wave-built graphs. Inserts
-  append to a pending tail that is scanned exactly and merged with the graph
-  candidates by (rank, id); the graphs rebuild once the tail outgrows
-  ``REBUILD_FRACTION`` of the built set. Deletes and overwrites mask their
-  ids out of graph results until the next rebuild.
+* ``MeshHnswIndex`` — host mirror + per-shard wave-built graphs, mutated
+  INCREMENTALLY after the first build: puts route to the least-loaded shard
+  and wave-link into its graph in place, deletes tombstone on device, and a
+  shard compacts alone once its tombstones outgrow
+  ``hnsw_build.REBUILD_FRACTION``. No full-mesh rebuild on the ingest path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..errors import MetricOverflow, UnsupportedHnswMetric
+from ..errors import UnsupportedHnswMetric
 from ..index.base import Index
 from ..index.flat import FlatIndex
 from ..index.hnsw import HNSW_METRICS, validate_options
 from ..metrics import normalize_metric, rank_value
 from .hnsw_mesh import ShardedHnsw
 from .mesh import ShardedFlat
-
-
-def _tail_scores(metric: str, rows: np.ndarray, queries: np.ndarray):
-    """Batched f64 scores of the pending tail vs a query batch, rounded to
-    f32 like the per-pair host oracle (scan_host.vector_top_k) so merge
-    ordering is bit-stable against it. Returns (raw [B, T], rank [B, T])."""
-    q = queries.astype(np.float64)
-    v = rows.astype(np.float64)
-    dots = q @ v.T
-    if metric == "l2":
-        qq = np.einsum("bd,bd->b", q, q)
-        vv = np.einsum("td,td->t", v, v)
-        raw = np.sqrt(np.maximum(qq[:, None] + vv[None, :] - 2.0 * dots, 0.0))
-    elif metric == "cosine":
-        nq = np.sqrt(np.einsum("bd,bd->b", q, q))
-        nv = np.sqrt(np.einsum("td,td->t", v, v))
-        denom = nq[:, None] * nv[None, :]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            raw = np.where(denom > 0.0, dots / np.maximum(denom, 1e-300), 0.0)
-        raw = np.clip(raw, -1.0, 1.0)
-    else:  # inner_product
-        raw = dots
-    raw = raw.astype(np.float32).astype(np.float64)
-    if not np.isfinite(raw).all():
-        raise MetricOverflow("f32 overflow in pending-tail scan")
-    if metric == "l2":
-        rank = raw
-    elif metric == "cosine":
-        rank = 1.0 - raw
-    else:
-        rank = -raw
-    return raw, rank
 
 
 class MeshFlatIndex(Index):
@@ -137,11 +105,17 @@ class MeshFlatIndex(Index):
 
 
 class MeshHnswIndex(Index):
-    """HNSW sharded over a device mesh: per-shard graphs + exact pending tail."""
+    """HNSW sharded over a device mesh, mutated incrementally in place.
 
-    #: rebuild the shard graphs once the pending tail exceeds this fraction
-    #: of the built set (or on the first search after construction)
-    REBUILD_FRACTION = 0.2
+    The first search bulk-builds one graph per shard (device wave
+    construction). Every put/delete AFTER that build mutates the owning
+    shard's graph through the same incremental machinery the single-chip
+    index uses (``hnsw_build.incremental_put``/``incremental_delete``,
+    hnsw.rs:152-289 semantics): new records route to the least-loaded
+    shard, link through one wave kernel, and only that shard's slice of
+    the stacked search arrays re-syncs — there is no full-mesh rebuild on
+    the ingest path. Deletes tombstone on device; a shard compacts alone
+    once its tombstones outgrow ``hnsw_build.REBUILD_FRACTION``."""
 
     def __init__(self, metric: str, options=None, *, mesh):
         metric = normalize_metric(metric)
@@ -152,8 +126,6 @@ class MeshHnswIndex(Index):
         self.mesh = mesh
         self._host = FlatIndex(metric)  # mirror + validation
         self._sharded: ShardedHnsw | None = None
-        self._built_ids: set[str] = set()
-        self._stale: set[str] = set()  # built ids whose vector changed/deleted
 
     def __len__(self):
         return len(self._host)
@@ -167,15 +139,15 @@ class MeshHnswIndex(Index):
 
     def put_many(self, pairs) -> None:
         pairs = [(str(id), v) for id, v in pairs]
-        self._host.put_many(pairs)
-        for id, _ in pairs:
-            if id in self._built_ids:
-                self._stale.add(id)
+        self._host.put_many(pairs)  # batch-validates before any mutation
+        if self._sharded is not None:
+            ids = [id for id, _ in pairs]
+            self._sharded.incremental_put(ids, self._rows_for(ids))
 
     def delete(self, id: str) -> None:
         self._host.delete(id)
-        if id in self._built_ids:
-            self._stale.add(id)
+        if self._sharded is not None:
+            self._sharded.incremental_delete([str(id)])
 
     def _live_ids(self) -> list:
         return sorted(self._host._slot_of)
@@ -184,24 +156,15 @@ class MeshHnswIndex(Index):
         host = self._host
         return np.stack([host._host_x[host._slot_of[id]] for id in ids])
 
-    def _maybe_rebuild(self, live):
-        usable = len(self._built_ids) - len(self._stale)
-        pending = len(live) - usable
-        if self._sharded is not None and pending <= max(
-            64, int(self.REBUILD_FRACTION * max(usable, 1))
-        ):
+    def _ensure_built(self):
+        if self._sharded is not None:
             return
-        if not live:
-            self._sharded = None
-            self._built_ids = set()
-            self._stale = set()
-            return
-        self._sharded = ShardedHnsw(
-            self.metric, self.mesh, live, self._rows_for(live),
-            options=self.params,
-        )
-        self._built_ids = set(live)
-        self._stale = set()
+        live = self._live_ids()
+        if live:
+            self._sharded = ShardedHnsw(
+                self.metric, self.mesh, live, self._rows_for(live),
+                options=self.params,
+            )
 
     def search(self, query, limit: int) -> list:
         return self.search_batch(np.asarray(query, np.float32)[None, :], limit)[0]
@@ -210,42 +173,15 @@ class MeshHnswIndex(Index):
         queries = np.asarray(queries, dtype=np.float32)
         if limit == 0 or not self._host._slot_of:
             return [[] for _ in range(len(queries))]
-        live = self._live_ids()
-        self._maybe_rebuild(live)
-        live_set = set(live)
-        pending = [id for id in live if id not in self._built_ids or id in self._stale]
-        # over-fetch so masked (stale/deleted) graph hits cannot starve the
-        # result set
-        k_graph = min(len(self._built_ids), limit + len(self._stale))
-        graph_hits = (
-            self._sharded.search_batch(queries, k_graph) if k_graph else
-            [[] for _ in range(len(queries))]
-        )
-        # pending tail: ONE vectorized [B, T] scan (BLAS), then per query the
-        # exact (rank, id) order over the tied top-k candidate set — replaces
-        # the per-query host oracle loop that was O(B·T) Python at scale
-        tail_ids = tail_raw = tail_rank = None
-        if pending:
-            tail_ids = np.array(pending, dtype=str)
-            tail_raw, tail_rank = _tail_scores(
-                self.metric, self._rows_for(pending), queries)
-            k = min(limit, len(pending))
-            kth = np.partition(tail_rank, k - 1, axis=1)[:, k - 1]
+        self._ensure_built()
+        hits = self._sharded.search_batch(queries, limit)
+        # deterministic (rank, id) order is already exact across shards;
+        # re-rank host-side only to fold in rank_value for the caller
         out = []
         for qi in range(len(queries)):
-            merged = [
+            merged = sorted(
                 (rank_value(self.metric, raw), id, raw)
-                for id, raw in graph_hits[qi]
-                if id in live_set and id not in self._stale
-            ]
-            if pending:
-                sel = np.flatnonzero(tail_rank[qi] <= kth[qi])  # ties kept
-                order = np.lexsort((tail_ids[sel], tail_rank[qi][sel]))
-                for j in sel[order][:limit]:
-                    merged.append(
-                        (float(tail_rank[qi][j]), str(tail_ids[j]),
-                         float(tail_raw[qi][j]))
-                    )
-            merged.sort(key=lambda h: (h[0], h[1]))
+                for id, raw in hits[qi]
+            )
             out.append([(id, raw) for _, id, raw in merged[:limit]])
         return out
