@@ -364,6 +364,25 @@ def graph_cache_name(n, d):
     return f"hnsw_{n}x{d}_m{p['m']}m0{p['m0']}efc{p['ef_construction']}_s{SEED}_v1.npz"
 
 
+def _record_cold_build(graph_path, seconds):
+    """Persists the measured cold-build seconds next to the graph cache so
+    cache-hit runs can still report an honest ``hnsw_build_cold_s``
+    (VERDICT r3 item 2: the cost must stay visible even when primed)."""
+    try:
+        with open(graph_path + ".build.json", "w") as f:
+            json.dump({"hnsw_build_cold_s": round(seconds, 1)}, f)
+    except Exception:
+        pass
+
+
+def _load_cold_build(graph_path):
+    try:
+        with open(graph_path + ".build.json") as f:
+            return json.load(f)["hnsw_build_cold_s"]
+    except Exception:
+        return None
+
+
 def prime_main(n, d):
     """Cache-priming with minimal HBM residency: the timed path holds the
     flat index block (3 GB at 1M x 768) *plus* the build's permuted copy,
@@ -393,8 +412,10 @@ def prime_main(n, d):
         hnsw.bulk_ingest_device(ids, x)
         del x
         fetch_barrier(hnsw._bulk.a0)
-        _phase(f"prime: built in {time.perf_counter() - t0:.1f}s; saving graph")
+        build_s = time.perf_counter() - t0
+        _phase(f"prime: built in {build_s:.1f}s; saving graph")
         hnsw.save_graph(graph_path, include_x=False)
+        _record_cold_build(graph_path, build_s)
         del hnsw
     else:
         _phase("prime: graph cache already present")
@@ -590,8 +611,12 @@ def main():
             x_device=x_dev)
         fetch_barrier(hnsw._bulk.a0)
         detail["hnsw_build_s"] = 0.0
+        cold = _load_cold_build(graph_path)
+        if cold is not None:
+            detail["hnsw_build_cold_s"] = cold
         detail["hnsw_graph_load_s"] = round(time.perf_counter() - t0, 1)
-        _phase(f"graph loaded in {detail['hnsw_graph_load_s']}s")
+        _phase(f"graph loaded in {detail['hnsw_graph_load_s']}s "
+               f"(cold build was {cold}s)")
     else:
         est_build = max(120.0, n / 1_000_000 * 1500)
         if prime or left() > est_build + 240:
@@ -600,9 +625,11 @@ def main():
             hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
             hnsw.bulk_ingest_device(ids, flat._device[0][: len(ids)])
             detail["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
+            detail["hnsw_build_cold_s"] = detail["hnsw_build_s"]
             _phase(f"built in {detail['hnsw_build_s']}s; caching graph")
             try:
                 hnsw.save_graph(graph_path, include_x=False)
+                _record_cold_build(graph_path, detail["hnsw_build_s"])
             except Exception as exc:  # cache is best-effort
                 _phase(f"graph cache save failed: {exc}")
         else:

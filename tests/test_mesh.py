@@ -61,6 +61,29 @@ def test_uneven_rows_pad():
     assert len(hits) == 5
 
 
+@pytest.mark.parametrize("data,k", [(1, 5), (2, 10)])
+def test_ici_merge_cost_model(data, k):
+    """The stated ICI merge cost model must equal the all_gather bytes in
+    the program the compiler actually sees (VERDICT r3 item 9)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from vettore_tpu.parallel.cost import (
+        expected_merge_bytes, traced_allgather_bytes)
+    from vettore_tpu.parallel.mesh import sharded_search
+
+    ids, vectors = corpus(n=64)
+    mesh = make_mesh(data=data)
+    sharded = ShardedFlat("cosine", mesh, ids, vectors)
+    b = 4
+    got = traced_allgather_bytes(
+        functools.partial(sharded_search, mesh), sharded._x, sharded._valid,
+        sharded._lex, jnp.asarray(vectors[:b]), metric="cosine", k=k)
+    want = expected_merge_bytes(mesh.shape["shard"], b // data, k)
+    assert got == want
+
+
 class TestShardedHnsw:
     @pytest.mark.parametrize("data", [1, 2])
     def test_sharded_hnsw_matches_exact_on_clusters(self, data):

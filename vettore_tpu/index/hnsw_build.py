@@ -270,8 +270,9 @@ def load_graph(path: str, *, x_device=None) -> BulkGraph:
 
 #: beam entries expanded per construct-search iteration (same widened-beam
 #: scheme as the query kernel: exploration only grows at a given ef, while
-#: sequential depth and per-step merge cost drop ~W-fold)
-BUILD_EXPAND_W = 4
+#: sequential depth and per-step merge cost drop ~W-fold); env override is
+#: for build-throughput experiments (_exp/build_sweep.py)
+BUILD_EXPAND_W = int(os.environ.get("VETTORE_BUILD_W", "4"))
 
 
 def build_step_bound(efc: int, w: int = BUILD_EXPAND_W) -> int:
