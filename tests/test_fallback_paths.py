@@ -13,7 +13,6 @@ from vettore_tpu.collection import Collection, _VectorCache
 from vettore_tpu.embedding import Embedding
 from vettore_tpu.index.flat import FlatIndex, InvalidFlatOptions
 from vettore_tpu.ops import muvera, pipeline as pipe
-from vettore_tpu.parallel.collection_mesh import _tail_scores
 
 
 def _corpus(n, d, seed=0):
@@ -224,24 +223,6 @@ class TestMuveraBatchEncoders:
         with pytest.raises(E.VettoreError):
             muvera.encode_queries(
                 [[[1.0, 2.0]], [[1.0, 2.0, 3.0]]], {})  # ragged dims
-
-
-class TestPendingTailScores:
-    @pytest.mark.parametrize("metric", ["l2", "cosine", "inner_product"])
-    def test_tail_scores_match_f32_semantics(self, metric):
-        rng = np.random.default_rng(12)
-        rows = rng.standard_normal((6, 8)).astype(np.float32)
-        qs = rng.standard_normal((3, 8)).astype(np.float32)
-        raw, rank = _tail_scores(metric, rows, qs)
-        assert raw.shape == (3, 6) and rank.shape == (3, 6)
-        best = rank.argmin(axis=1)
-        if metric == "cosine":
-            assert np.allclose(1.0 - raw, rank)
-        elif metric == "inner_product":
-            assert np.allclose(-raw, rank)
-        else:
-            assert np.allclose(raw, rank)
-        assert np.isfinite(raw).all() and best.shape == (3,)
 
 
 class TestExoticMetricMaxSim:

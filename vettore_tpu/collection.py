@@ -585,8 +585,21 @@ class Collection:
 
     @staticmethod
     def _make_store(store, config):
+        compressed = bool(config.get("compressed"))
         if store == "memory":
+            if compressed:
+                # the reference's `compressed` cuts ETS (host) RAM
+                # (store/ets.ex:273-282); the host analog is the columnar
+                # store with bf16 halves — same rounding the compressed
+                # device block scores with
+                from .store.columnar import ColumnarStore
+
+                return ColumnarStore(config, dtype="bf16")
             return MemoryStore(config)
+        if store == "columnar":
+            from .store.columnar import ColumnarStore
+
+            return ColumnarStore(config, dtype="bf16" if compressed else "f32")
         if isinstance(store, type):
             instance = store(config)
         else:
@@ -2199,6 +2212,11 @@ def load_snapshot(path: str, *, name=None, index=None, index_options=None, score
         raise E.UnsupportedSnapshotOverride(key)
     if not isinstance(path, str):
         raise E.InvalidSnapshot("invalid snapshot path")
+    if store == "columnar":
+        # ColumnarStore.load_snapshot picks bf16 itself for compressed configs
+        from .store.columnar import ColumnarStore
+
+        store = ColumnarStore
     store_cls = MemoryStore if store is None else store
     if not (isinstance(store_cls, type) and callable(getattr(store_cls, "load_snapshot", None))):
         raise E.InvalidStore(f"invalid store: {store!r}")

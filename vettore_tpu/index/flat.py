@@ -152,7 +152,9 @@ class FlatIndex(Index):
         #: values + f32 scales — quarter the HBM, int8 MXU pass, raw values
         #: approximate to ~1e-2..1e-1; non-fused configs (exotic metrics,
         #: tiny caps, limit > 128) dequantize through the XLA scan, so every
-        #: search stays servable. The host mirror stays f32 (canonical).
+        #: search stays servable. bf16 keeps a bf16 host mirror (half the
+        #: host RAM; the mirror holds exactly what the device block scores);
+        #: int8 keeps an f32 mirror as the dequant reference.
         self.storage = storage
         self._int8_scale = None
         self.metric = metric
@@ -310,11 +312,22 @@ class FlatIndex(Index):
             self._free = []
         self._dirty = True
 
+    def _mirror_dtype(self):
+        """Host-mirror dtype: bf16 storage keeps bf16 halves on the host too
+        (half the canonical-RAM; numpy rounds on assignment and widens on
+        read, so every consumer sees exactly the values the device block
+        scores). int8 keeps an f32 mirror — it is the dequant reference."""
+        if self.storage == "bf16":
+            import ml_dtypes
+
+            return ml_dtypes.bfloat16
+        return np.float32
+
     def _reserve(self, needed: int, dim: int):
         if self._host_x is None:
             cap = _cap_for(needed)
             self._cap = cap
-            self._host_x = np.zeros((cap, dim), dtype=np.float32)
+            self._host_x = np.zeros((cap, dim), dtype=self._mirror_dtype())
             self._valid = np.zeros(cap, dtype=bool)
             self._ids = [None] * cap
             self._free = list(range(cap - 1, -1, -1))
@@ -324,7 +337,7 @@ class FlatIndex(Index):
         # ~1.25x geometric growth amortizes incremental inserts; a one-shot
         # bulk ingest into a fresh/small index still reserves near-exact-fit
         cap = _cap_for(max(needed, self._cap + (self._cap >> 2)))
-        grown_x = np.zeros((cap, self._host_x.shape[1]), dtype=np.float32)
+        grown_x = np.zeros((cap, self._host_x.shape[1]), dtype=self._host_x.dtype)
         grown_x[: self._cap] = self._host_x
         grown_valid = np.zeros(cap, dtype=bool)
         grown_valid[: self._cap] = self._valid
@@ -393,8 +406,9 @@ class FlatIndex(Index):
         from ..ops.transport import put_f32_matrix
 
         # ships 16-bit halves when the block is bf16-exact (bit-identical
-        # reconstruction) — halves upload time on the tunnel-limited link
-        device_x = put_f32_matrix(self._host_x)
+        # reconstruction) — halves upload time on the tunnel-limited link.
+        # A bf16 host mirror widens to bf16-exact f32, so it ships halves.
+        device_x = put_f32_matrix(self._host_x.astype(np.float32))
         if self.storage == "bf16":
             device_x = device_x.astype(jnp.bfloat16)
         elif self.storage == "int8":
