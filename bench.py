@@ -169,34 +169,57 @@ def _cache_path(name):
     return os.path.join(CACHE_DIR, name)
 
 
-def clustered_corpus(n, d, n_clusters=None, cluster_radius=0.4, seed=SEED):
-    """Unit vectors in Gaussian clusters (sigma = radius/sqrt(d); cluster
-    count ~n/100) — real-embedding-like geometry. Values are rounded to
-    bf16-representable f32 so host->device transport ships 16-bit halves
-    losslessly (ops/transport.py)."""
-    from vettore_tpu.ops.transport import round_to_bf16
+def corpus_cache_name(n, d, seed=SEED, tag=""):
+    return f"corpusdev{tag}_{n}x{d}_s{seed}.u16.npy"
 
-    if n_clusters is None:
-        n_clusters = max(1024, n // 100)
-    rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((n_clusters, d), dtype=np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    assignment = rng.integers(0, n_clusters, n)
-    sigma = np.float32(cluster_radius / np.sqrt(d))
-    data = centers[assignment] + sigma * rng.standard_normal((n, d), dtype=np.float32)
-    data /= np.linalg.norm(data, axis=1, keepdims=True)
-    return round_to_bf16(data)
+
+def corpus_with_device(n, d, seed=SEED, tag=""):
+    """Returns ``(host_f32, device_block)`` of the bench corpus: unit
+    vectors in Gaussian clusters (sigma = radius/sqrt(d); cluster count
+    ~n/100), bf16-rounded — real-embedding-like geometry.
+
+    The corpus is generated ON DEVICE (vettore_tpu/synth.py, deterministic
+    Threefry) in seconds; the host canonical copy is downloaded as u16
+    halves ONCE and disk-cached. Warm runs load the cache and *adopt* the
+    regenerated device block (sample-verified bit-identical) instead of
+    paying the ~190 s 1M x 768 upload this tunnel charges — that upload was
+    35% of round 4's whole bench budget (BENCH_r04.json: flat_upload_s)."""
+    from vettore_tpu import synth
+    from vettore_tpu.ops.transport import get_f32_matrix
+
+    dev = synth.clustered(n, d, max(1024, n // 100), 0.4, seed)
+    path = _cache_path(corpus_cache_name(n, d, seed, tag))
+    if os.path.exists(path):
+        halves = np.load(path)
+        host = (halves.astype(np.uint32) << 16).view(np.float32)
+        if host.shape != (n, d):  # stale/foreign cache: rebuild from device
+            host = None
+    else:
+        host = None
+    if host is None:
+        host = get_f32_matrix(dev)  # u16 halves over the tunnel
+        np.save(path, (host.view(np.uint32) >> 16).astype(np.uint16))
+    return host, dev
 
 
 def cached_corpus(n, d, seed=SEED, tag=""):
-    """Disk-cached corpus as u16 high halves (half the disk + lossless)."""
-    path = _cache_path(f"corpus{tag}_{n}x{d}_s{seed}.u16.npy")
-    if os.path.exists(path):
-        halves = np.load(path)
-        return (halves.astype(np.uint32) << 16).view(np.float32)
-    data = clustered_corpus(n, d, seed=seed)
-    np.save(path, (data.view(np.uint32) >> 16).astype(np.uint16))
-    return data
+    """Host corpus only (compat for the _exp probes)."""
+    return corpus_with_device(n, d, seed, tag)[0]
+
+
+def adopt_or_upload(flat, dev, detail=None, key=None):
+    """Adopts the regenerated device block into a flat index (bit-verified
+    sample), falling back to the plain upload path on any mismatch."""
+    try:
+        flat.adopt_device_block(dev)
+        mode = "adopted"
+    except Exception as exc:  # noqa: BLE001 — fallback must be total
+        _phase(f"block adoption failed ({exc}); uploading")
+        flat._sync_device()
+        mode = "uploaded"
+    if detail is not None and key is not None:
+        detail[key] = mode
+    return mode
 
 
 def make_queries(data, count, noise_norm=0.4, seed=SEED + 1):
@@ -486,10 +509,10 @@ def main():
                    "corpus": f"clustered({max(1024, n // 100)}centers,radius0.4)",
                    "query_noise_norm": 0.4})
 
-    # ---- corpus
+    # ---- corpus (device-generated; host canonical copy disk-cached)
     _phase(f"corpus {n}x{d}")
     t0 = time.perf_counter()
-    data = cached_corpus(n, d)
+    data, data_dev = corpus_with_device(n, d)
     ids = [f"doc-{i:07d}" for i in range(n)]
     # 2x the batch so timed dispatches rotate over genuinely different slices
     queries = make_queries(data, 2 * max(q_count, batch))
@@ -498,20 +521,29 @@ def main():
     # ---- flat exact (ground truth + config-1-style throughput). ONE
     # Collection owns the corpus: its FlatIndex is the flat index under test
     # AND the adaptive modes' scan cache shares its device block — the 3 GB
-    # block is host-ingested and uploaded exactly once.
+    # block lives on device exactly once, ADOPTED from the generator
+    # (sample-verified vs the host store) rather than uploaded.
+    # normalize="none": the synth corpus is already unit-norm (pre-rounding)
+    # and cosine is norm-invariant, so skipping insert-time renormalization
+    # keeps the stored rows bit-identical to the device block — the adopt
+    # precondition — and skips an O(n) f64 host pass.
     _phase("flat ingest")
     from vettore_tpu.collection import Collection
 
-    col = Collection(name="bench", dimensions=d, metric="cosine", index="flat")
+    col = Collection(name="bench", dimensions=d, metric="cosine", index="flat",
+                     normalize="none")
+    detail["normalize"] = "none"
     t0 = time.perf_counter()
     col.put_matrix(ids, data)
     flat = col.index
     detail["flat_build_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
-    flat._sync_device()
+    adopt_or_upload(flat, data_dev, detail, "flat_block")
     fetch_barrier(flat._device[0])
+    del data_dev
     detail["flat_upload_s"] = round(time.perf_counter() - t0, 1)
-    _phase(f"flat host {detail['flat_build_s']}s upload {detail['flat_upload_s']}s")
+    _phase(f"flat host {detail['flat_build_s']}s device "
+           f"{detail['flat_upload_s']}s ({detail['flat_block']})")
 
     _phase("ground truth")
     truth = flat.search_batch(queries[:q_count], 10)

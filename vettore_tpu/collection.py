@@ -332,7 +332,9 @@ class _VectorCache:
         for r in self.records:
             vs = r.vectors if _has_tokens(r.vectors) else (
                 [r.vector] if r.vector is not None else [])
-            if not vs:
+            # len(), not truthiness: vs may be a [t, d] ndarray (put_tokens
+            # records mixed with list-vectors records in one collection)
+            if len(vs) == 0:
                 docs.append(np.zeros((0, self.dimensions), dtype=np.float32))
                 continue
             try:
@@ -706,6 +708,67 @@ class Collection:
             else:
                 self.index_kind = "custom"
             self._bump()
+
+    def adopt_token_block(self, block_dev, *, sample: int = 32, seed: int = 0) -> None:
+        """Expert API: adopts an already-resident ``[cap, T, d]`` device token
+        block as the multi-vector scan cache, skipping the host→device token
+        upload (minutes per GB on tunnel-attached runtimes; the block is
+        regenerable on device by deterministic corpus generators).
+
+        The canonical tokens ALWAYS stay in the host store — ``sample`` docs
+        are fetched from the block and verified bit-identical to the stored
+        token rows before adoption (bf16 blocks verify against the high
+        halves of the stored f32 tokens, lossless only when those are
+        bf16-exact), and the padding planes are verified zero. ``sample >=
+        n`` verifies every row. Any mismatch raises and leaves the normal
+        upload path in place. The adopted block lives for one cache
+        generation: any mutation rebuilds the cache from the canonical
+        store."""
+        if self.mesh is not None:
+            raise E.InvalidMultiVector(
+                "adopt_token_block is single-device only (mesh caches shard)")
+        with self._write_lock:
+            self.ensure_open()
+            cache = self._scan_cache()
+        if not cache.n:
+            raise E.InvalidMultiVector("collection is empty")
+        recs = cache.records
+        first = recs[0].vectors
+        if not (isinstance(first, np.ndarray) and first.ndim == 2 and all(
+                isinstance(r.vectors, np.ndarray) and r.vectors.shape == first.shape
+                for r in recs)):
+            raise E.InvalidMultiVector(
+                "adopt_token_block needs a uniform bulk-ingested token corpus")
+        t = first.shape[0]
+        t_max = _pow2_at_least(t, 1)
+        if tuple(block_dev.shape) != (cache.cap, t_max, self.dimensions):
+            raise E.InvalidMultiVector(
+                f"device token block shape {tuple(block_dev.shape)} != "
+                f"({cache.cap}, {t_max}, {self.dimensions})")
+        if block_dev.dtype not in (jnp.bfloat16, jnp.float32):
+            raise E.InvalidMultiVector("device token block must be bf16 or f32")
+        if sample >= cache.n:  # full verification on request
+            probe = np.arange(cache.n)
+        else:
+            rng = np.random.default_rng(seed)
+            probe = np.unique(rng.integers(0, cache.n, size=sample))
+        got = np.asarray(
+            block_dev[jnp.asarray(probe.astype(np.int32))].astype(jnp.float32))
+        want = np.stack([np.asarray(recs[i].vectors, np.float32) for i in probe])
+        pads_zero = not (got[:, t:] != 0).any()
+        got = np.ascontiguousarray(got[:, :t])
+        if cache.cap > cache.n:
+            tail = np.asarray(block_dev[cache.n].astype(jnp.float32))
+            pads_zero = pads_zero and not (tail != 0).any()
+        if got.shape != want.shape or (
+                got.view(np.uint32) != want.view(np.uint32)).any():
+            raise E.InvalidMultiVector(
+                "device token block does not match the canonical store")
+        if not pads_zero:
+            raise E.InvalidMultiVector("device token block padding is not zero")
+        counts = np.zeros(cache.cap, dtype=np.int32)
+        counts[: cache.n] = t
+        cache._mv = (block_dev, cache._put(counts))
 
     def _bump(self):
         self._version += 1

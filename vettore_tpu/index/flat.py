@@ -125,6 +125,13 @@ def _validate_row(vector, expected_dim):
 
 
 @jax.jit
+def _row_sq_norms(x):
+    """[cap, 1] f32 row squared norms computed on device (adopt path)."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf * xf, axis=1, keepdims=True)
+
+
+@jax.jit
 def _quantize_int8(x):
     """Per-row symmetric int8 quantization of a device f32 block:
     returns (x8 [N, d] int8, scale [N] f32 dequant factors)."""
@@ -385,8 +392,48 @@ class FlatIndex(Index):
 
     # -- search -------------------------------------------------------------
 
-    def _sync_device(self):
-        if not self._dirty and self._device is not None:
+    def adopt_device_block(self, x_dev, *, sample: int = 64, seed: int = 0) -> None:
+        """Adopts an already-resident ``[n, d]`` (or ``[cap, d]``) f32 device
+        block as this index's scan copy, skipping the host→device upload.
+
+        The canonical data ALWAYS lives in the host mirror (the reference's
+        store-vs-acceleration invariant, README.md:410-415); the block is
+        only accepted after ``sample`` deterministic rows are fetched and
+        verified bit-identical to the mirror. Intended for callers that can
+        regenerate the corpus on device (deterministic generators, e.g.
+        ``vettore_tpu.synth``) or share another index's block — on
+        tunnel-attached runtimes the upload is minutes, the verification
+        milliseconds. ``sample >= n`` verifies every row. Raises
+        ``InvalidVector`` on any mismatch; on success the index is clean
+        (no pending upload)."""
+        if self._host_x is None:
+            raise InvalidFlatOptions("adopt_device_block needs ingested rows")
+        if x_dev.ndim != 2 or int(x_dev.shape[1]) != self._host_x.shape[1]:
+            raise DimensionMismatch("device block shape mismatch")
+        n_rows = int(x_dev.shape[0])
+        if n_rows > self._cap:
+            raise InvalidVector("device block has more rows than capacity")
+        if x_dev.dtype != jnp.float32:
+            raise InvalidVector("device block must be float32")
+        if n_rows < self._cap:
+            x_dev = jnp.concatenate(
+                [x_dev, jnp.zeros((self._cap - n_rows, x_dev.shape[1]),
+                                  jnp.float32)])
+        if sample >= n_rows:  # full verification on request
+            probe = np.arange(max(n_rows, 1))
+        else:
+            rng = np.random.default_rng(seed)
+            probe = np.unique(rng.integers(0, max(n_rows, 1), size=sample))
+        got = np.asarray(x_dev[jnp.asarray(probe.astype(np.int32))])
+        want = self._host_x[probe].astype(np.float32)
+        if got.shape != want.shape or (
+                got.view(np.uint32) != want.view(np.uint32)).any():
+            raise InvalidVector(
+                "device block does not match the canonical host mirror")
+        self._sync_device(adopt=x_dev)
+
+    def _sync_device(self, adopt=None):
+        if adopt is None and not self._dirty and self._device is not None:
             return
         live = np.flatnonzero(self._valid)
         id_arr = np.array([self._ids[s] for s in live], dtype=str)
@@ -399,16 +446,26 @@ class FlatIndex(Index):
         self._live_count = int(live.size)
         lex_rank = np.zeros(self._cap, dtype=np.int32)
         lex_rank[lex_order] = np.arange(self._cap, dtype=np.int32)
-        xsq = np.sum(
-            self._host_x.astype(np.float32) ** 2, axis=1, keepdims=True, dtype=np.float32
-        )
         bias = np.where(self._valid[:, None], np.float32(0.0), np.float32(np.inf))
         from ..ops.transport import put_f32_matrix
 
         # ships 16-bit halves when the block is bf16-exact (bit-identical
         # reconstruction) — halves upload time on the tunnel-limited link.
         # A bf16 host mirror widens to bf16-exact f32, so it ships halves.
-        device_x = put_f32_matrix(self._host_x.astype(np.float32))
+        # ``adopt`` (adopt_device_block) supplies a pre-verified resident
+        # block instead, skipping the upload AND the host xsq pass (the
+        # squared norms come off the resident block; ulp-level summation-
+        # order differences only move raw scores by float noise).
+        if adopt is not None:
+            device_x = adopt
+            xsq_dev = _row_sq_norms(device_x)
+        else:
+            device_x = put_f32_matrix(self._host_x.astype(np.float32))
+            xsq = np.sum(
+                self._host_x.astype(np.float32) ** 2, axis=1, keepdims=True,
+                dtype=np.float32,
+            )
+            xsq_dev = jnp.asarray(xsq)
         if self.storage == "bf16":
             device_x = device_x.astype(jnp.bfloat16)
         elif self.storage == "int8":
@@ -419,7 +476,7 @@ class FlatIndex(Index):
             jnp.asarray(lex_order),
         )
         self._device_scan = (
-            jnp.asarray(xsq),
+            xsq_dev,
             jnp.asarray(bias.astype(np.float32)),
             jnp.asarray(lex_rank),
         )

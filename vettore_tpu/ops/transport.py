@@ -78,6 +78,21 @@ def _halves_to_bf16(halves):
     return jax.lax.bitcast_convert_type(halves, jnp.bfloat16)
 
 
+@jax.jit
+def _to_u16_halves(x):
+    return (jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+            >> 16).astype(jnp.uint16)
+
+
+def get_f32_matrix(x_dev) -> np.ndarray:
+    """Downloads a bf16-exact f32 (or bf16) device array as 16-bit halves —
+    half the tunnel bytes of a plain ``device_get`` — and widens on host,
+    bit-exactly. The inverse of :func:`put_f32_matrix`'s u16 path; only
+    valid for data known bf16-exact (e.g. ``vettore_tpu.synth`` output)."""
+    halves = np.asarray(jax.device_get(_to_u16_halves(x_dev)))
+    return (halves.astype(np.uint32) << 16).view(np.float32)
+
+
 def put_token_block(block: np.ndarray):
     """Uploads a multi-vector token block, keeping it **bfloat16-resident**
     when that is lossless: a bf16 value's bit pattern IS the high half of its
