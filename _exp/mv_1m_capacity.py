@@ -127,6 +127,38 @@ def main():
         want = np.argsort(-tot, kind="stable")[:LIMIT]
         inter = len(set(want.tolist()) & set(int(g) for g in sl[qi]))
         agree.append(inter / LIMIT)
+    # ---- fused Pallas pass (ops/maxsim.fused_maxsim_topk_batch): what the
+    # collection actually dispatches at these shapes (supports_fused is
+    # true), measured against the chunked XLA stream above — VERDICT r4
+    # item 3's at-scale number
+    assert maxsim_ops.supports_fused("cosine", NPAD, T, D, B * QT, 2)
+    phase("fused pallas pass: compile + first batch")
+
+    def fused_dispatch(i):
+        lo = (i % 2) * B
+        return maxsim_ops.fused_maxsim_topk_batch(
+            tokens, counts, valid, qt_dev[lo:lo + B], qm_dev[lo:lo + B],
+            metric="cosine", limit=LIMIT, t=T, b=B)
+
+    fu_slots, _fu_scores, fu_ok = fused_dispatch(0)
+    fetch_barrier(fu_slots)
+    t0 = time.perf_counter()
+    fu_iters = 8
+    for i in range(fu_iters):
+        fu_out = fused_dispatch(i)
+    fetch_barrier(fu_out[0])
+    fu_dt = (time.perf_counter() - t0) / fu_iters
+    fu_qps = B / fu_dt
+    fu_sl = np.asarray(fu_slots)
+    ex_sl0 = np.asarray(slots)
+    fu_overlap = float(np.mean([
+        len(set(fu_sl[b].tolist()) & set(ex_sl0[b].tolist())) / LIMIT
+        for b in range(B)
+    ]))
+    phase(f"fused: {fu_dt * 1000:.1f} ms/batch ({fu_qps:.1f} qps), "
+          f"overlap@10 vs xla stream {fu_overlap:.4f}, "
+          f"ok={bool(np.asarray(fu_ok).all())}")
+
     # ---- MUVERA-FDE candidate generation + exact subset rerank (the
     # multi_vector_search(candidates=...) serving path at 1M scale):
     # device doc-FDE encode, fused FDE scan for the top-512, exact MaxSim
@@ -185,10 +217,20 @@ def main():
         "docs": N, "tokens_per_doc": T, "dims": D, "storage": "bf16",
         "hbm_gib": round(NPAD * T * D * 2 / 2**30, 1),
         "batch": B, "chunk": chunk,
-        "exact_maxsim_qps": round(qps, 1),
-        "ms_per_batch": round(dt * 1000, 1),
+        # the serving path (collection dispatches the fused pass at these
+        # shapes); the XLA stream is the pre-fusion comparison point
+        "exact_maxsim_qps": round(fu_qps, 1),
+        "ms_per_batch": round(fu_dt * 1000, 1),
+        "fused_pallas": {
+            "qps": round(fu_qps, 1), "ms_per_batch": round(fu_dt * 1000, 1),
+            "overlap_at_10_vs_xla_stream": round(fu_overlap, 4),
+            "ok": bool(np.asarray(fu_ok).all()),
+        },
+        "xla_stream": {
+            "qps": round(qps, 1), "ms_per_batch": round(dt * 1000, 1),
+        },
         "host_subset_agreement": agree,
-        "ok": bool(np.asarray(ok).all()),
+        "ok": bool(np.asarray(ok).all()) and bool(np.asarray(fu_ok).all()),
         "score_sample": float(sc[0, 0]),
         "muvera_fde": {
             "candidates": cand,

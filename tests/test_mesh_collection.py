@@ -238,6 +238,23 @@ class TestMeshIvfCollection:
         want = single.search(list(vectors[9]), limit=5)
         assert [r.id for r in got] == [r.id for r in want]
 
+    def test_auto_n_probe_on_mesh(self):
+        """n_probe="auto" tunes per-shard at build time (index/ivf.py's
+        _tune_n_probe, sharded variant) and the tuned probe count serves."""
+        sharded, single, records, vectors = make_pair(
+            index="ivf",
+            index_options={"n_probe": "auto", "kmeans_iters": 2,
+                           "target_recall": 0.9})
+        got = sharded.search(list(vectors[4]), limit=5)
+        assert len(got) == 5
+        idx = sharded.index
+        idx._sync()
+        tuned = idx._sharded.tuned
+        assert tuned is not None and tuned["target"] == 0.9
+        p = idx._sharded.effective_n_probe()
+        assert isinstance(p, int) and p >= 1
+        assert tuned["recall_at_10"] >= 0.9 or p >= idx._sharded.capb // 64
+
     def test_snapshot_restore_on_mesh(self, tmp_path):
         sharded, single, records, vectors = make_pair(index="ivf", **self.OPTS)
         snap = tmp_path / "mesh-ivf.snap"

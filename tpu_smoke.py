@@ -147,6 +147,22 @@ def main():
         assert abs(r.score - w[1]) < 1e-3, (r.id, r.score, w)
     print(f"[smoke] fused maxsim parity ok ({time.time()-t0:.0f}s)", flush=True)
 
+    # ---- BATCHED fused MaxSim (b > 1, multi-token queries): the Mosaic
+    # lowering of the per-query token reduction is shape-dependent (a lane
+    # split that b=1 never exercises — it broke the round-5 bench's b=64
+    # path while every b=1 gate stayed green), so the gate must compile a
+    # real batch
+    fqsets = [[mvf_rng.normal(size=128).tolist() for _ in range(3)]
+              for _ in range(8)]
+    fbatch = mvf.multi_vector_search_batch(fqsets, limit=5)
+    for qs, row in zip(fqsets, fbatch):
+        want = maxsim_ops.top_k(fdocs, qs, "cosine", 5)
+        assert [r.id for r in row] == [w[0] for w in want], (row, want)
+        for r, w in zip(row, want):
+            assert abs(r.score - w[1]) < 1e-3, (r.id, r.score, w)
+    print(f"[smoke] batched fused maxsim parity ok ({time.time()-t0:.0f}s)",
+          flush=True)
+
     # ---- MUVERA-FDE candidate generation (device doc encoder + fused
     # candidate scan + exact subset rerank) recalls the exact MaxSim scan
     fexact = [r.id for r in fres]

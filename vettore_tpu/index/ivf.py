@@ -41,10 +41,15 @@ DEFAULT_OPTIONS = {
     "storage": "bf16",
     "min_rows": 4096,
     "rebuild_fraction": 0.2,
+    "target_recall": 0.95,
 }
 
 _MAX_PROBE = 65_536
 _MAX_ITERS = 64
+#: auto-tune probe ladder (stops at n_blocks); powers of two so the jit
+#: cache stays small — each distinct n_probe is its own compiled program
+_AUTO_SWEEP = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+_AUTO_SAMPLE = 64
 
 
 def validate_options(options: dict | None) -> dict:
@@ -59,8 +64,14 @@ def validate_options(options: dict | None) -> dict:
     def pos_int(v):
         return isinstance(v, int) and not isinstance(v, bool) and v > 0
 
-    if not (pos_int(merged["n_probe"]) and merged["n_probe"] <= _MAX_PROBE):
+    np_opt = merged["n_probe"]
+    if np_opt != "auto" and not (pos_int(np_opt) and np_opt <= _MAX_PROBE):
         raise InvalidIvfOptions("invalid n_probe")
+    tr = merged["target_recall"]
+    if not isinstance(tr, (int, float)) or isinstance(tr, bool) or not (
+            0.0 < float(tr) <= 1.0):
+        raise InvalidIvfOptions("invalid target_recall")
+    merged["target_recall"] = float(tr)
     if not (pos_int(merged["kmeans_iters"]) and merged["kmeans_iters"] <= _MAX_ITERS):
         raise InvalidIvfOptions("invalid kmeans_iters")
     if merged["storage"] not in ("f32", "bf16"):
@@ -99,6 +110,8 @@ class IvfIndex(Index):
         self._block_ids: list = []          # block slot -> id (None = pad/dead)
         self._block_slot_of: dict = {}      # id -> block slot
         self._tombstoned = 0
+        #: {"n_probe", "recall_at_10", "target"} after an auto-tune build
+        self.tuned: dict | None = None
 
     @classmethod
     def from_flat(cls, flat: FlatIndex, options: dict | None = None) -> "IvfIndex":
@@ -258,6 +271,51 @@ class IvfIndex(Index):
         self._tombstoned = 0
         self._tail = None
         self._built_version = self._version
+        if self.params["n_probe"] == "auto":
+            self._tune_n_probe()
+
+    def _tune_n_probe(self) -> None:
+        """``n_probe="auto"``: picks the smallest probe count whose
+        recall@10 on a held-out sample of stored rows (vs the mirror's exact
+        scan) meets ``target_recall`` — so the recall gate is a build-time
+        property of the actual corpus geometry, not a caller guess (the
+        reference leaves the equivalent ef_search guess to the caller,
+        /root/reference/lib/vettore/index/hnsw.ex:13-19; an adaptive default
+        is the TPU build's answer to the same tuning problem). Probed rows
+        self-route, so the sample measures neighborhood retrieval across
+        block boundaries: the other 9 of each row's top-10."""
+        mirror = self._mirror
+        n = len(mirror)
+        sample = min(_AUTO_SAMPLE, n)
+        lex_slots = mirror._lex_order_np[:n]
+        pick = lex_slots[np.linspace(0, n - 1, sample).astype(np.int64)]
+        queries = mirror._host_x[pick].astype(np.float64)
+        k = min(10, n)
+        truth = [{id for id, _ in row}
+                 for row in mirror.search_batch(queries, k)]
+        ngb = max(1, len(self._bcb))
+        target = self.params["target_recall"]
+        chosen, recall = None, 0.0
+        for p in _AUTO_SWEEP:
+            if chosen is not None and p > ngb:
+                break
+            got = self._probed_batch(queries, k, min(p, ngb))
+            recall = float(np.mean([
+                len({id for _r, id, _ in sorted(row)[:k]} & want)
+                / max(len(want), 1)
+                for row, want in zip(got, truth)]))
+            chosen = min(p, ngb)
+            if recall >= target or p >= ngb:
+                break
+        self.tuned = {"n_probe": chosen, "recall_at_10": round(recall, 4),
+                      "target": target}
+
+    def effective_n_probe(self) -> int:
+        """The probe count searches actually use (auto resolves at build)."""
+        p = self.params["n_probe"]
+        if p == "auto":
+            return self.tuned["n_probe"] if self.tuned else 8
+        return p
 
     def _ensure_built(self) -> bool:
         """Returns True when the device structure is current and usable."""
@@ -284,34 +342,14 @@ class IvfIndex(Index):
             return self._mirror.search_batch(queries, limit)
         # mirror validation posture without a full scan
         self._mirror_validate(queries)
-        import jax.numpy as jnp
-
-        from ..ops.ivf import ivf_search
-
         k = min(limit, len(self._mirror))
-        kb = min(max(k, 1), max(len(self._block_slot_of), 1))
-        from ..ops.transport import put_f32_matrix
-
-        qdev = put_f32_matrix(queries.astype(np.float32))
-        slots, raws, ranks = ivf_search(
-            self._xb, self._xsq, self._bias, self._lex, self._bcb, self._csq,
-            self._bbias, qdev, metric=self.metric,
-            nprobe=self.params["n_probe"], k=kb)
-        slots_np = np.asarray(slots)
-        raws_np = np.asarray(raws)
-        ranks_np = np.asarray(ranks)
+        probed = self._probed_batch(queries, k, self.effective_n_probe())
         tail_hits = (
             self._tail.search_batch(queries, limit)
             if self._tail is not None and len(self._tail) else None)
         out = []
         for b in range(queries.shape[0]):
-            merged = []
-            for s, raw, rank in zip(slots_np[b], raws_np[b], ranks_np[b]):
-                if not np.isfinite(rank):
-                    continue
-                id = self._block_ids[int(s)]
-                if id is not None:
-                    merged.append((float(rank), id, float(raw)))
+            merged = list(probed[b])
             if tail_hits is not None:
                 from ..metrics import rank_value
 
@@ -319,6 +357,32 @@ class IvfIndex(Index):
                     merged.append((rank_value(self.metric, raw), id, raw))
             merged.sort(key=lambda h: (h[0], h[1]))
             out.append([(id, raw) for _rank, id, raw in merged[:limit]])
+        return out
+
+    def _probed_batch(self, queries: np.ndarray, k: int, nprobe: int) -> list:
+        """Device probe + host hydration (no tail merge): per query a list
+        of ``(rank, id, raw)`` built-row hits."""
+        from ..ops.ivf import ivf_search
+        from ..ops.transport import put_f32_matrix
+
+        kb = min(max(k, 1), max(len(self._block_slot_of), 1))
+        qdev = put_f32_matrix(queries.astype(np.float32))
+        slots, raws, ranks = ivf_search(
+            self._xb, self._xsq, self._bias, self._lex, self._bcb, self._csq,
+            self._bbias, qdev, metric=self.metric, nprobe=nprobe, k=kb)
+        slots_np = np.asarray(slots)
+        raws_np = np.asarray(raws)
+        ranks_np = np.asarray(ranks)
+        out = []
+        for b in range(queries.shape[0]):
+            hits = []
+            for s, raw, rank in zip(slots_np[b], raws_np[b], ranks_np[b]):
+                if not np.isfinite(rank):
+                    continue
+                id = self._block_ids[int(s)]
+                if id is not None:
+                    hits.append((float(rank), id, float(raw)))
+            out.append(hits)
         return out
 
     def _mirror_validate(self, queries: np.ndarray) -> None:
@@ -350,7 +414,7 @@ class IvfIndex(Index):
         slots, raws, ranks = ivf_search(
             self._xb, self._xsq, self._bias, self._lex, self._bcb, self._csq,
             self._bbias, queries_device, metric=self.metric,
-            nprobe=self.params["n_probe"], k=kb)
+            nprobe=self.effective_n_probe(), k=kb)
         if self._tail is None or not len(self._tail):
             return slots, raws
         t_slots, t_raws = self._tail.search_batch_device(queries_device, k)

@@ -403,7 +403,20 @@ def _mv_scan_body(x_ref, tinv_ref, tbias_ref, dzero_ref, dbias_ref, qt_ref,
     rt, bq = sim.shape
     dt = rt // t
     best = jnp.max(sim.reshape(dt, t, bq), axis=1)  # [DT, BQ]
-    totals = jnp.sum(best.reshape(dt, b, bq // b), axis=2)  # [DT, B]
+    qt_per = bq // b
+    if qt_per == 1:
+        totals = best
+    else:
+        # Splitting the LANE dim (BQ -> [B, QT]) is an unsupported Mosaic
+        # shape cast for b < 128 (the sublane split above is fine); sum the
+        # qt token columns of each query with a tiny exact 0/1 matmul
+        # instead (columns are b-major: column i*qt+j belongs to query i).
+        # HIGHEST keeps the f32 values exact through the MXU's bf16 passes.
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, b), 0) // qt_per
+        sel = col == jax.lax.broadcasted_iota(jnp.int32, (bq, b), 1)
+        totals = jnp.dot(best, sel.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [DT, B]
     # zero-token docs score 0.0 (multi_vector.rs:44-60); dead slots +inf out
     rank = jnp.where(dzero_ref[:] > 0.0, 0.0, -totals) + dbias_ref[:]
     rank_ref[:] = rank.T  # [B, DT]

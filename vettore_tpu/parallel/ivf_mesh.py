@@ -121,6 +121,44 @@ class ShardedIvf:
         self._bbias = jax.device_put(bbias, flag_spec)
         self._bias_host = bias  # for cheap delete masking
         self._rows_host = rows
+        #: {"n_probe", "recall_at_10", "target"} after an auto-tune build
+        self.tuned: dict | None = None
+        if self.params["n_probe"] == "auto":
+            self._tune_n_probe(vectors)
+
+    def _tune_n_probe(self, vectors: np.ndarray) -> None:
+        """``n_probe="auto"`` (index/ivf.py:_tune_n_probe, sharded): smallest
+        probe count whose recall@10 on a held-out row sample meets
+        ``target_recall``; ground truth probes every block (exact by the
+        n_probe >= n_blocks contract, ops/ivf.py)."""
+        sample = min(64, self.n)
+        pick = np.linspace(0, self.n - 1, sample).astype(np.int64)
+        queries = vectors[pick]
+        k = min(10, self.n)
+        ngb = self.capb // GROUP
+        truth = [{id for id, _ in row}
+                 for row in self._probe_batch(queries, k, ngb)]
+        target = self.params["target_recall"]
+        chosen, recall = None, 0.0
+        for p in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512):
+            if chosen is not None and p > ngb:
+                break
+            got = self._probe_batch(queries, k, min(p, ngb))
+            recall = float(np.mean([
+                len({id for id, _ in row} & want) / max(len(want), 1)
+                for row, want in zip(got, truth)]))
+            chosen = min(p, ngb)
+            if recall >= target or p >= ngb:
+                break
+        self.tuned = {"n_probe": chosen, "recall_at_10": round(recall, 4),
+                      "target": target}
+
+    def effective_n_probe(self) -> int:
+        """The probe count searches actually use (auto resolves at build)."""
+        p = self.params["n_probe"]
+        if p == "auto":
+            return self.tuned["n_probe"] if self.tuned else 8
+        return p
 
     def invalidate_rows(self, global_rows) -> None:
         """Masks global rows out of results (delete without rebuild)."""
@@ -136,6 +174,11 @@ class ShardedIvf:
                 self._bias_host, NamedSharding(self.mesh, P("shard", None)))
 
     def search_batch(self, queries, limit: int) -> list:
+        ngb = self.capb // GROUP
+        return self._probe_batch(queries, limit,
+                                 min(self.effective_n_probe(), ngb))
+
+    def _probe_batch(self, queries, limit: int, nprobe: int) -> list:
         queries = np.asarray(queries, dtype=np.float32)
         b = queries.shape[0]
         dp = self.mesh.shape["data"]
@@ -144,12 +187,10 @@ class ShardedIvf:
         padded[:b] = queries
         q = jax.device_put(padded, NamedSharding(self.mesh, P("data", None)))
         k = min(limit, max(self.n, 1))
-        ngb = self.capb // GROUP
-        p = min(self.params["n_probe"], ngb)
         rows, raws = jax.device_get(_sharded_ivf_search(
             self.mesh, self._x, self._xsq, self._bias, self._lex, self._rows,
             self._bcb, self._csq, self._bbias, q,
-            metric=self.metric, nprobe=p, k=k))
+            metric=self.metric, nprobe=nprobe, k=k))
         out = []
         for row in range(b):
             hits = []
