@@ -20,7 +20,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from build_graph import make_corpus  # noqa: E402  (sibling probe helper)
 
 
 def main():
@@ -40,22 +39,28 @@ def main():
     from vettore_tpu.index.hnsw_build import bulk_build
     from vettore_tpu.ops.transport import fetch_barrier
 
+    from vettore_tpu import synth
+
     w = hnsw_build.BUILD_EXPAND_W
-    x = make_corpus(args.n, args.d)
+    # device-generated corpus (synth.clustered, bench geometry): no 95 s
+    # host->device upload inside the timed region
+    x_dev = synth.clustered(args.n, args.d, max(1024, args.n // 100), 0.4, 0)
+    fetch_barrier(x_dev)
     ids = [f"doc-{i:07d}" for i in range(args.n)]
     params = {"m": 16, "m0": 32, "ef_construction": 100, "max_level": 12}
 
     # warm the session + compile caches on a tiny slice so the timed build
     # measures waves, not the tunnel's first-dispatch tax
     t0 = time.time()
-    g0 = bulk_build("cosine", params, ids[:2048], x[:2048],
+    g0 = bulk_build("cosine", params, ids[:2048], x_device=x_dev[:2048],
                     wave=args.wave or None,
                     beam_steps=args.beam_steps or None)
     fetch_barrier(g0.a0)
     print(f"[sweep] session+tiny warm {time.time() - t0:.0f}s", flush=True)
 
     t0 = time.time()
-    g = bulk_build("cosine", params, ids, x, wave=args.wave or None,
+    g = bulk_build("cosine", params, ids, x_device=x_dev,
+                   wave=args.wave or None,
                    beam_steps=args.beam_steps or None)
     fetch_barrier(g.a0)
     build_s = time.time() - t0
@@ -63,11 +68,7 @@ def main():
           f"beam_steps={args.beam_steps or 'auto'}: {build_s:.1f}s "
           f"({args.n / build_s:.0f} rows/s)", flush=True)
 
-    rng = np.random.default_rng(7)
-    base = x[rng.integers(0, args.n, size=args.queries)]
-    sigma = 0.4 / np.sqrt(args.d)
-    q = (base + sigma * rng.normal(size=base.shape).astype(np.float32))
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = np.asarray(synth.perturbed_queries(x_dev, args.queries, 0.4, 7))
 
     import jax
     import jax.numpy as jnp

@@ -881,14 +881,18 @@ def main():
     # cross the tunnel within the bench budget, so the capacity run builds
     # it on device and drives the same streaming-MaxSim op the collection
     # dispatches — surface it in the record
-    cap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "docs", "mv_1m_capacity.json")
-    if os.path.exists(cap_path):
-        try:
-            with open(cap_path) as f:
-                detail["mv_1m_capacity"] = json.load(f)
-        except Exception:
-            pass
+    docs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    for key, fname in (("mv_1m_capacity", "mv_1m_capacity.json"),
+                       # real-chip shard_map dispatch overhead + kernel gap
+                       # (_exp/mesh1_overhead.py, VERDICT r4 item 6)
+                       ("mesh1_overhead", "mesh1_overhead.json")):
+        p = os.path.join(docs_dir, fname)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    detail[key] = json.load(f)
+            except Exception:
+                pass
 
     _promote_headline(detail, n, d)
 

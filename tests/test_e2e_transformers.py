@@ -15,6 +15,14 @@ multi-vectors) is exercised end to end.
 
 Set ``VETTORE_TEST_ST_MODEL`` to a local sentence-transformers model path
 to run the same assertions against genuinely pretrained embeddings.
+
+Environment ceiling, verified round 5: this image has zero egress and no
+pretrained checkpoint anywhere on disk (no ``~/.cache/huggingface``, no
+``*.safetensors``), so the ``VETTORE_TEST_ST_MODEL`` path has never
+executed here — the hermetic random-init pipeline above IS the maximum
+model fidelity this environment can run. The pretrained path stays in the
+suite so any environment WITH weights (e.g. the reference's CI, ci.yml:
+46-65) runs the full-fidelity variant with one env var.
 """
 
 from __future__ import annotations
