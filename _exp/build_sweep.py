@@ -29,6 +29,8 @@ def main():
     p.add_argument("--wave", type=int, default=0)
     p.add_argument("--beam-steps", type=int, default=0)
     p.add_argument("--queries", type=int, default=512)
+    p.add_argument("--algo", default="wave", choices=("wave", "knn"))
+    p.add_argument("--rebuild", action="store_true")
     p.add_argument("--debug-waves", action="store_true")
     args = p.parse_args()
 
@@ -47,7 +49,8 @@ def main():
     x_dev = synth.clustered(args.n, args.d, max(1024, args.n // 100), 0.4, 0)
     fetch_barrier(x_dev)
     ids = [f"doc-{i:07d}" for i in range(args.n)]
-    params = {"m": 16, "m0": 32, "ef_construction": 100, "max_level": 12}
+    params = {"m": 16, "m0": 32, "ef_construction": 100, "max_level": 12,
+              "build": args.algo}
 
     # warm the session + compile caches on a tiny slice so the timed build
     # measures waves, not the tunnel's first-dispatch tax
@@ -64,9 +67,20 @@ def main():
                    beam_steps=args.beam_steps or None)
     fetch_barrier(g.a0)
     build_s = time.time() - t0
-    print(f"[sweep] n={args.n} wave={args.wave or 'auto'} W={w} "
-          f"beam_steps={args.beam_steps or 'auto'}: {build_s:.1f}s "
+    print(f"[sweep] n={args.n} algo={args.algo} wave={args.wave or 'auto'} "
+          f"W={w} beam_steps={args.beam_steps or 'auto'}: {build_s:.1f}s "
           f"({args.n / build_s:.0f} rows/s)", flush=True)
+    if args.rebuild:
+        # second build in-process: jit caches warm, so this isolates the
+        # actual device work from one-time compiles
+        t0 = time.time()
+        g = bulk_build("cosine", params, ids, x_device=x_dev,
+                       wave=args.wave or None,
+                       beam_steps=args.beam_steps or None)
+        fetch_barrier(g.a0)
+        warm_s = time.time() - t0
+        print(f"[sweep] warm rebuild: {warm_s:.1f}s "
+              f"({args.n / warm_s:.0f} rows/s)", flush=True)
 
     q = np.asarray(synth.perturbed_queries(x_dev, args.queries, 0.4, 7))
 
@@ -74,11 +88,13 @@ def main():
     import jax.numpy as jnp
 
     @jax.jit
-    def exact10(qs):
-        s = jnp.dot(qs, g.x.T, preferred_element_type=jnp.float32)
+    def exact10(qs, x):
+        # x as an ARGUMENT: a closed-over block ships as a compile-request
+        # constant and blows the tunnel's request size limit (HTTP 413)
+        s = jnp.dot(qs, x.T, preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, 10)[1]
 
-    gt = np.asarray(jax.device_get(exact10(jnp.asarray(q))))
+    gt = np.asarray(jax.device_get(exact10(jnp.asarray(q), g.x)))
 
     from vettore_tpu.index import hnsw_device
 

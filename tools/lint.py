@@ -25,7 +25,8 @@ ROOT = Path(__file__).resolve().parent.parent
 TARGETS = ["vettore_tpu", "tests", "tools", "bench.py", "tpu_smoke.py",
            "__graft_entry__.py"]
 #: library files where print() is load-bearing (debug hooks, CLIs)
-PRINT_OK = {"vettore_tpu/index/hnsw_build.py"}
+PRINT_OK = {"vettore_tpu/index/hnsw_build.py",
+            "vettore_tpu/index/hnsw_knn_build.py"}
 
 
 def _files():

@@ -99,6 +99,23 @@ def main():
     print(f"[smoke] hnsw device build+query ok (overlap {overlap:.3f}, "
           f"{time.time()-t0:.0f}s)", flush=True)
 
+    # ---- kNN-block bulk construction (hnsw_knn_build — the default build
+    # at bench scale) on hardware: same recall gate as the wave build
+    knn = vt.Collection(name="smoke-knn", dimensions=d, metric="cosine",
+                        index="hnsw",
+                        index_options={"m": 8, "m0": 16, "ef_construction": 48,
+                                       "ef_search": 32, "build": "knn"})
+    knn.index.BULK_THRESHOLD = 2_000
+    knn.put_many(records)
+    hits = knn.search_batch(queries, limit=10)
+    overlap = np.mean([
+        len(set(r.id for r in row) & set(t)) / 10 for row, t in zip(hits, truth)
+    ])
+    assert overlap >= 0.9, f"knn-build overlap {overlap}"
+    assert knn.search(list(data[23]), limit=1)[0].id == "doc-00023"
+    print(f"[smoke] hnsw knn-build ok (overlap {overlap:.3f}, "
+          f"{time.time()-t0:.0f}s)", flush=True)
+
     # ---- multi-vector MaxSim + hybrid + MMR
     mv = vt.Collection(name="smoke-mv", dimensions=32, metric="cosine")
     mv_rng = np.random.default_rng(7)

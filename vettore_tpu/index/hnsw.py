@@ -48,7 +48,13 @@ DEFAULT_OPTIONS = {
     # at fixed ef; 1M x 768 measured: W=4 0.9916 recall / 10.6k QPS,
     # W=8 0.9955 / 7.9k, W=16 0.9980 / 5.3k at ef=16).
     "expand_w": 8,
+    # TPU-native extension: bulk-construction algorithm. "knn" =
+    # cluster-blocked kNN assembly (dense MXU work, hnsw_knn_build.py);
+    # "wave" = batched insertion waves; "auto" picks knn at scale.
+    "build": "auto",
 }
+
+BUILD_MODES = ("auto", "knn", "wave")
 
 _MAX_M = 1_024
 _MAX_M0 = 2_048
@@ -93,6 +99,8 @@ def validate_options(options: dict | None) -> dict:
         raise InvalidHnswOptions("invalid max_level")
     if not (pos_int(merged["expand_w"]) and merged["expand_w"] <= 256):
         raise InvalidHnswOptions("invalid expand_w")
+    if merged["build"] not in BUILD_MODES:
+        raise InvalidHnswOptions(f"invalid build mode: {merged['build']!r}")
     return merged
 
 

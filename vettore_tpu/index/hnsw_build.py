@@ -612,28 +612,17 @@ def _wave_step(x, xt, a0, up_adj, up_index, lex_rank, levels, wave_slots, wave_m
     return a0, up_adj
 
 
-def bulk_build(metric: str, params: dict, ids, vectors=None, *, wave: int | None = None,
-               beam_steps: int | None = None, x_device=None) -> BulkGraph:
-    """Builds a full graph from scratch on device; returns a BulkGraph.
-
-    Vectors come from ``vectors`` (host [n, d], uploaded once) or
-    ``x_device`` (an existing device-resident [n, d] block in ``ids`` order —
-    e.g. a flat index's block — permuted on device, no re-transfer)."""
-    if x_device is not None:
-        n, d = int(x_device.shape[0]), int(x_device.shape[1])
-    else:
-        vectors = np.asarray(vectors, dtype=np.float32)
-        n, d = vectors.shape
-    max_level = params["max_level"]
-    m, m0, efc = params["m"], params["m0"], params["ef_construction"]
-
+def _prep_order(ids, max_level: int, n: int):
+    """Shared build preamble: deterministic FNV-1a levels, (level desc, id)
+    slot order, lex tie-break ranks, and the upper-layer row map. Returns
+    ``(ids_sorted, order, levels, lex_rank, lmax, up_index, cap_up)``."""
     from .. import native
 
     str_ids = [str(i) for i in ids]
     levels = native.levels_batch(str_ids, max_level)
     if levels is None:  # no C++ toolchain: pure-Python fallback
         levels = np.array([level_for(i, max_level) for i in str_ids], dtype=np.int32)
-    id_arr = np.array([str(i) for i in ids], dtype=str)
+    id_arr = np.array(str_ids, dtype=str)
     order = np.lexsort((id_arr, -levels))  # (level desc, id asc)
     ids_sorted = [str(id_arr[i]) for i in order]
     levels = levels[order]
@@ -646,7 +635,51 @@ def bulk_build(metric: str, params: dict, ids, vectors=None, *, wave: int | None
     upper = np.flatnonzero(levels >= 1)
     up_index = np.full(n, -1, dtype=np.int32)
     up_index[upper] = np.arange(len(upper), dtype=np.int32)
-    cap_up = len(upper)
+    return ids_sorted, order, levels, lex_rank, lmax, up_index, len(upper)
+
+
+#: graphs at least this large bulk-build through the kNN-block construction
+#: (hnsw_knn_build.py) by default; below it the wave build's compile set is
+#: cheaper and the corpus fits one wave anyway. ``build="wave"|"knn"``
+#: overrides per index.
+KNN_BUILD_MIN = 20_000
+
+
+def bulk_build(metric: str, params: dict, ids, vectors=None, *, wave: int | None = None,
+               beam_steps: int | None = None, x_device=None) -> BulkGraph:
+    """Builds a full graph from scratch on device; returns a BulkGraph.
+
+    Vectors come from ``vectors`` (host [n, d], uploaded once) or
+    ``x_device`` (an existing device-resident [n, d] block in ``ids`` order —
+    e.g. a flat index's block — permuted on device, no re-transfer).
+
+    Two construction algorithms produce the same BulkGraph layout:
+
+    * ``knn`` (default at scale): cluster-blocked kNN-graph construction —
+      dense MXU matmuls end to end (hnsw_knn_build.py);
+    * ``wave``: batched reference-style insertion waves (this module) — the
+      same kernel incremental mutation uses.
+    """
+    n = int(x_device.shape[0]) if x_device is not None else len(
+        np.asarray(vectors, dtype=np.float32))
+    algo = os.environ.get("VETTORE_HNSW_BUILD") or params.get("build", "auto")
+    if algo == "auto":
+        algo = "knn" if n >= KNN_BUILD_MIN else "wave"
+    if algo == "knn":
+        from . import hnsw_knn_build
+
+        return hnsw_knn_build.bulk_build_knn(
+            metric, params, ids, vectors=vectors, x_device=x_device)
+    if x_device is not None:
+        n, d = int(x_device.shape[0]), int(x_device.shape[1])
+    else:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n, d = vectors.shape
+    max_level = params["max_level"]
+    m, m0, efc = params["m"], params["m0"], params["ef_construction"]
+
+    ids_sorted, order, levels, lex_rank, lmax, up_index, cap_up = _prep_order(
+        ids, max_level, n)
 
     if x_device is not None:
         xd = x_device[jnp.asarray(order.astype(np.int32))]
