@@ -17,11 +17,11 @@ Operational design (this runtime's physics dictate all of it):
   best-so-far JSON line and exit — the run NEVER ends without a result.
   (Round 2's driver run timed out mid-ingest and recorded nothing.)
 * **Disk caches** (`VETTORE_BENCH_CACHE`, default /root/.cache/vettore_bench):
-  corpus generation costs ~8 min of single-core numpy at 1M x 768 and the
-  HNSW bulk build ~20 min on chip — both cache across runs (the graph via
-  ``HnswIndex.save_graph``, adjacency only; its vector block is re-derived
-  on device from the flat index's block, sharing one HBM copy).
-  ``python bench.py --prime-cache`` builds all caches without timing.
+  the host canonical corpus copies (u16 halves) and the CPU baseline cache
+  across runs; the HNSW kNN-block build is ~20 s warm-compiled at 1M so it
+  runs COLD each run, with the saved graph (adjacency only) as a fallback
+  for budget-starved runs. ``python bench.py --prime-cache`` builds all
+  caches (and warms the persistent jit cache) without timing.
 * **Session tax**: the first device dispatch of a fresh process costs
   3-9 MINUTES on this tunnel runtime (pool/session establishment) —
   recorded as ``session_init_s``, excluded from nothing (the budget clock
@@ -386,10 +386,17 @@ def pick_scale(args):
 
 
 def graph_cache_name(n, d):
-    # v2: the corpus moved to on-device generation (different content than
-    # the v1 host-RNG corpora), so v1-era graphs must never be reused
+    # v3: bulk construction moved to the kNN-block build (hnsw_knn_build) —
+    # different graph content than v2's wave-built graphs. (v2: the corpus
+    # moved to on-device generation, retiring v1 host-RNG-era graphs.)
     p = HNSW_PARAMS
-    return f"hnsw_{n}x{d}_m{p['m']}m0{p['m0']}efc{p['ef_construction']}_s{SEED}_v2.npz"
+    return f"hnsw_{n}x{d}_m{p['m']}m0{p['m0']}efc{p['ef_construction']}_s{SEED}_v3.npz"
+
+
+def hnsw_build_estimate(n):
+    """Budget estimate for a cold kNN-block build (measured 1M x 768: ~20 s
+    with warm jit caches, ~240 s compiling every bucket from scratch)."""
+    return max(90.0, n / 1_000_000 * 260)
 
 
 def _record_cold_build(graph_path, seconds):
@@ -431,7 +438,7 @@ def prime_main(n, d):
 
     graph_path = _cache_path(graph_cache_name(n, d))
     if not os.path.exists(graph_path):
-        _phase(f"prime: hnsw build (est {max(120.0, n / 1_000_000 * 1500):.0f}s)")
+        _phase(f"prime: hnsw build (est {hnsw_build_estimate(n):.0f}s)")
         t0 = time.perf_counter()
         hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
         hnsw.bulk_ingest_device(ids, dev)
@@ -643,11 +650,30 @@ def main():
     else:
         detail["skipped"].append("ivf_budget")
 
-    # ---- HNSW (config 2): cached graph or on-device build
+    # ---- HNSW (config 2): the kNN-block build is cheap enough to run COLD
+    # every run (like the IVF build, the honest-cold-number posture); the
+    # graph cache only rescues budget-starved runs (e.g. a 9-minute session
+    # init tax ate the slack).
     graph_path = _cache_path(graph_cache_name(n, d))
     hnsw = None
-    if os.path.exists(graph_path):
-        _phase("hnsw graph cache hit")
+    est_build = hnsw_build_estimate(n)
+    if prime or left() > est_build + 180:
+        _phase(f"hnsw cold build (est {est_build:.0f}s)")
+        t0 = time.perf_counter()
+        hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
+        hnsw.bulk_ingest_device(ids, flat._device[0][: len(ids)])
+        fetch_barrier(hnsw._bulk.a0)
+        detail["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
+        detail["hnsw_build_cold_s"] = detail["hnsw_build_s"]
+        _phase(f"built in {detail['hnsw_build_s']}s")
+        if not os.path.exists(graph_path):
+            try:
+                hnsw.save_graph(graph_path, include_x=False)
+                _record_cold_build(graph_path, detail["hnsw_build_s"])
+            except Exception as exc:  # cache is best-effort
+                _phase(f"graph cache save failed: {exc}")
+    elif os.path.exists(graph_path):
+        _phase("hnsw graph cache hit (budget too tight for a cold build)")
         t0 = time.perf_counter()
         with np.load(graph_path, allow_pickle=False) as z:
             graph_ids = [str(i) for i in z["ids"]]
@@ -666,22 +692,7 @@ def main():
         _phase(f"graph loaded in {detail['hnsw_graph_load_s']}s "
                f"(cold build was {cold}s)")
     else:
-        est_build = max(120.0, n / 1_000_000 * 1500)
-        if prime or left() > est_build + 240:
-            _phase(f"hnsw build (est {est_build:.0f}s)")
-            t0 = time.perf_counter()
-            hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
-            hnsw.bulk_ingest_device(ids, flat._device[0][: len(ids)])
-            detail["hnsw_build_s"] = round(time.perf_counter() - t0, 1)
-            detail["hnsw_build_cold_s"] = detail["hnsw_build_s"]
-            _phase(f"built in {detail['hnsw_build_s']}s; caching graph")
-            try:
-                hnsw.save_graph(graph_path, include_x=False)
-                _record_cold_build(graph_path, detail["hnsw_build_s"])
-            except Exception as exc:  # cache is best-effort
-                _phase(f"graph cache save failed: {exc}")
-        else:
-            detail["skipped"].append("hnsw_build_budget")
+        detail["skipped"].append("hnsw_build_budget")
 
     baseline_qps = None
     if hnsw is not None:
@@ -1008,7 +1019,7 @@ def run_hybrid_mv(detail, n, prime):
     hm.update({"docs": mv_n, "tokens": mv_t, "dims": mv_d,
                "token_block": tok_mode})
 
-    mv_graph = _cache_path(f"mvgraphdev_{mv_n}x{mv_d}_s{SEED}_v1.npz")
+    mv_graph = _cache_path(f"mvgraphdev_{mv_n}x{mv_d}_s{SEED}_v2.npz")  # v2: knn build
     t0 = time.perf_counter()
     if os.path.exists(mv_graph):
         idx = HnswIndex.load_graph("cosine", {**HNSW_PARAMS, "ef_search": 64}, mv_graph)

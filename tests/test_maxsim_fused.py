@@ -62,6 +62,38 @@ def test_fused_matches_xla_oracle(metric):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("metric", ["cosine", "inner_product"])
+def test_uniform_variant_matches_xla_oracle(metric):
+    """The operand-free uniform-token kernel (norms in-kernel, 1-D per-doc
+    vectors — the only variant that compiles at 1M x 32 tokens) must agree
+    with the XLA oracle on a full-token corpus."""
+    tokens = jnp.asarray(RNG.standard_normal((CAP, T, D)).astype(np.float32))
+    counts = jnp.asarray(np.where(np.arange(CAP) < 100, T, 0).astype(np.int32))
+    valid = jnp.asarray(np.arange(CAP) < 100)
+    qtok, qmask = queries()
+    assert maxsim.supports_fused(metric, CAP, T, D,
+                                 qtok.shape[0] * qtok.shape[1], 4,
+                                 uniform=True)
+    want_slots, want_scores, want_ok = maxsim.maxsim_full_topk_batch(
+        tokens, counts, valid, qtok, qmask, metric=metric, limit=10, chunk=CAP)
+    got_slots, got_scores, got_ok = maxsim.fused_maxsim_topk_batch(
+        tokens, counts, valid, qtok, qmask, metric=metric, limit=10,
+        t=T, b=int(qtok.shape[0]), uniform=True)
+    assert np.asarray(got_ok).all() and np.asarray(want_ok).all()
+    np.testing.assert_array_equal(np.asarray(got_slots), np.asarray(want_slots))
+    np.testing.assert_allclose(np.asarray(got_scores), np.asarray(want_scores),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_large_masked_configs_require_uniform():
+    """Past ~4M token rows the masked variant's padded [NT, 1] operands
+    exceed HBM; supports_fused must refuse unless the corpus is uniform."""
+    big_cap = 1_048_576
+    assert not maxsim.supports_fused("cosine", big_cap, 32, 128, 256, 2)
+    assert maxsim.supports_fused("cosine", big_cap, 32, 128, 256, 2,
+                                 uniform=True)
+
+
 def test_zero_token_docs_score_zero_and_rank_by_slot():
     tokens, counts, valid = block(zero_token_docs=(0, 1, 2))
     qtok, qmask = queries(b=1, qmax=2)

@@ -155,6 +155,10 @@ class _VectorCache:
         self._bits = None
         self._signs = None
         self._mv = None
+        #: True when every LIVE doc stores exactly the block's T tokens —
+        #: unlocks the operand-free fused MaxSim kernel (mandatory at 1M
+        #: scale; see ops/maxsim.supports_fused)
+        self.mv_uniform = False
         self._ids_np = None
         self._index_tables = {}
 
@@ -301,6 +305,7 @@ class _VectorCache:
                         raise E.InvalidMultiVector("invalid multi vector")
                     tokens[i, 0] = row
                     counts[i] = 1
+            self.mv_uniform = bool(self.n) and bool(has.all())
             self._mv = (self._put_tokens(tokens), self._put(counts))
             return self._mv
         first = self.records[0].vectors if self.records else None
@@ -326,6 +331,7 @@ class _VectorCache:
             tokens[: self.n, :t] = block
             counts = np.zeros(self.cap, dtype=np.int32)
             counts[: self.n] = t
+            self.mv_uniform = t == t_max and self.n > 0
             self._mv = (self._put_tokens(tokens), self._put(counts))
             return self._mv
         docs = []
@@ -352,6 +358,7 @@ class _VectorCache:
         for i, rows in enumerate(docs):
             counts[i] = len(rows)
             tokens[i, : len(rows)] = rows
+        self.mv_uniform = self.n > 0 and bool((counts[: self.n] == t_max).all())
         self._mv = (self._put_tokens(tokens), self._put(counts))
         return self._mv
 
@@ -768,6 +775,7 @@ class Collection:
             raise E.InvalidMultiVector("device token block padding is not zero")
         counts = np.zeros(cache.cap, dtype=np.int32)
         counts[: cache.n] = t
+        cache.mv_uniform = t == t_max
         cache._mv = (block_dev, cache._put(counts))
 
     def _bump(self):
@@ -1774,7 +1782,7 @@ class Collection:
         elif maxsim_ops.supports_fused(
             metric, int(tokens.shape[0]), int(tokens.shape[1]),
             int(tokens.shape[2]), qtok.shape[0] * qtok.shape[1],
-            tokens.dtype.itemsize,
+            tokens.dtype.itemsize, uniform=cache.mv_uniform,
         ):
             # fused Pallas scan: one pass over the token block (the XLA
             # chunked path re-materializes [chunk, B, Q, T] sim blocks —
@@ -1783,6 +1791,7 @@ class Collection:
                 tokens, counts, valid, jnp.asarray(qtok), jnp.asarray(qmask),
                 metric=metric, limit=k,
                 t=int(tokens.shape[1]), b=int(qtok.shape[0]),
+                uniform=cache.mv_uniform,
             ))
         else:
             slots, scores, ok = jax.device_get(maxsim_ops.maxsim_full_topk_batch(

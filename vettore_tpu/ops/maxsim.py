@@ -25,6 +25,22 @@ from ..metrics import similarity_value, validate_metric
 from .distance import _check_f32, _raw_f64, validate_vector
 
 
+@jax.jit
+def _row_sq_sums(x2):
+    """Per-row squared norms in f32 WITHOUT materializing a full-width cast
+    of the block (16.4 GB at 1M x 32 x 128 token rows): a chunked
+    cast+square+reduce that XLA fuses per chunk."""
+    nt, d = x2.shape
+    ck = 1
+    while ck < 65_536 and nt % (ck * 2) == 0:
+        ck *= 2
+    if nt // ck <= 1 or ck < 1024:
+        return jnp.sum(x2.astype(jnp.float32) ** 2, axis=1)
+    return jax.lax.map(
+        lambda c: jnp.sum(c.astype(jnp.float32) ** 2, axis=1),
+        x2.reshape(nt // ck, ck, d)).reshape(nt)
+
+
 def _validate_matrix(vectors, dimension=None):
     """Validates a list of equal-length finite vectors; returns the dimension
     (or None for an empty list)."""
@@ -361,7 +377,9 @@ def _mv_row_tile(t: int, d: int, bq: int, itemsize: int, nt: int):
     """Largest token-row tile fitting VMEM: double-buffered x tile + f32
     dots/sim blocks + per-doc epilogue. The doc count per tile is the rank
     output's LANE dimension, so it must be a 128 multiple (Mosaic block
-    rule); 256 first when it fits."""
+    rule); 256 first when it fits. (The uniform variant's in-kernel norm
+    temp is a ~2-4 MB fused elementwise chain — inside the budget's slack
+    against the 128 MB physical VMEM.)"""
     for docs in (256, 128):
         rt = docs * t
         if nt % rt:
@@ -372,16 +390,26 @@ def _mv_row_tile(t: int, d: int, bq: int, itemsize: int, nt: int):
     return None
 
 
+#: per-token-row mask/norm operands are [NT, 1] f32, which the TPU memory
+#: layout pads 128x in HBM (measured: 15.15 GiB EACH at 1M x 32 tokens) —
+#: the masked (non-uniform) fused variant is only feasible below this
+#: token-row count; uniform corpora use the operand-free kernel at any size
+_FUSED_MASKED_ROWS_MAX = 4_194_304
+
+
 def supports_fused(metric: str, cap: int, t: int, d: int, bq: int,
-                   itemsize: int) -> bool:
+                   itemsize: int, uniform: bool = False) -> bool:
     """Whether the fused MaxSim scan serves this configuration (dot-family
     metrics; lane-aligned d; T a power of two via the cache's padding; tile
-    divisibility; 64-doc group alignment for the cover selection)."""
+    divisibility; 64-doc group alignment for the cover selection).
+    ``uniform`` = every live doc stores exactly ``t`` tokens — required at
+    large ``cap * t`` (see ``_FUSED_MASKED_ROWS_MAX``)."""
     return (
         metric in FUSED_MV_METRICS
         and d % 128 == 0
         and t >= 1 and (t & (t - 1)) == 0
         and cap % 128 == 0
+        and (uniform or cap * t <= _FUSED_MASKED_ROWS_MAX)
         and _mv_row_tile(t, d, bq, itemsize, cap * t) is not None
     )
 
@@ -420,6 +448,79 @@ def _mv_scan_body(x_ref, tinv_ref, tbias_ref, dzero_ref, dbias_ref, qt_ref,
     # zero-token docs score 0.0 (multi_vector.rs:44-60); dead slots +inf out
     rank = jnp.where(dzero_ref[:] > 0.0, 0.0, -totals) + dbias_ref[:]
     rank_ref[:] = rank.T  # [B, DT]
+
+
+def _mv_scan_body_u(x_ref, dzero_ref, dbias_ref, qt_ref, qinv_ref, rank_ref,
+                    *, t, b, metric, fast):
+    """Uniform-token variant of :func:`_mv_scan_body`: every live doc has
+    exactly ``t`` real tokens, so the per-token pad bias vanishes and the
+    inverse token norms compute IN-KERNEL from the x tile — no ``[NT, 1]``
+    operands at all (their 128x HBM lane padding is 15 GiB each at 1M x 32).
+    Per-doc vectors arrive as 1-D lane-aligned blocks and apply after the
+    transpose."""
+    dots = jnp.dot(x_ref[:], qt_ref[:],
+                   preferred_element_type=jnp.float32,
+                   precision=None if fast else jax.lax.Precision.HIGHEST,
+                   )  # [RT, BQ]
+    if metric == "cosine":
+        xf = x_ref[:].astype(jnp.float32)
+        xsq = jnp.sum(xf * xf, axis=1, keepdims=True)  # [RT, 1]
+        tinv = jnp.where(xsq > 0.0, 1.0 / jnp.sqrt(xsq), 0.0)
+        sim = jnp.clip(dots * tinv * qinv_ref[:], -1.0, 1.0)
+    else:
+        sim = dots
+    rt, bq = sim.shape
+    dt = rt // t
+    best = jnp.max(sim.reshape(dt, t, bq), axis=1)  # [DT, BQ]
+    qt_per = bq // b
+    if qt_per == 1:
+        totals = best
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, b), 0) // qt_per
+        sel = col == jax.lax.broadcasted_iota(jnp.int32, (bq, b), 1)
+        totals = jnp.dot(best, sel.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [DT, B]
+    totals_t = totals.T  # [B, DT]
+    dz = dzero_ref[:]  # [1, DT] row vectors, broadcast over B
+    db = dbias_ref[:]
+    rank_ref[:] = jnp.where(dz > 0.0, 0.0, -totals_t) + db
+
+
+def fused_maxsim_rank_scan_uniform(x2, dzero1, dbias1, qt, qinv, *,
+                                   t: int, b: int, metric: str, row_tile: int):
+    """Uniform-token rank scan: ``dzero1``/``dbias1`` are [1, N] f32 row
+    vectors (standard 2-D tiling — a [N, 1] layout pads 128x in HBM and a
+    1-D [N] operand's T(1024) XLA tiling is not Mosaic-consumable). Same
+    contract as :func:`fused_maxsim_rank_scan`."""
+    nt, d = x2.shape
+    bq = qt.shape[1]
+    n = nt // t
+    if row_tile is None or nt % row_tile:
+        raise ValueError("fused_maxsim_rank_scan: no VMEM-feasible row tile")
+    tiles = nt // row_tile
+    docs_tile = row_tile // t
+    kernel = functools.partial(_mv_scan_body_u, t=t, b=b, metric=metric,
+                               fast=x2.dtype == jnp.bfloat16)
+    return pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, docs_tile), lambda i: (0, i)),
+            pl.BlockSpec((1, docs_tile), lambda i: (0, i)),
+            pl.BlockSpec((d, bq), lambda i: (0, 0)),
+            pl.BlockSpec((1, bq), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((b, docs_tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt * d * bq,
+            bytes_accessed=nt * d * x2.dtype.itemsize + d * bq * 4 + n * b * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, dzero1.reshape(1, n), dbias1.reshape(1, n), qt, qinv)
 
 
 def fused_maxsim_rank_scan(x2, tinv, tbias, dzero, dbias, qt, qinv, *,
@@ -473,9 +574,11 @@ def fused_maxsim_rank_scan(x2, tinv, tbias, dzero, dbias, qt, qinv, *,
 _PAD_SIM = -3.0e38
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "limit", "t", "b"))
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "limit", "t", "b", "uniform"))
 def fused_maxsim_topk_batch(tokens, token_counts, valid, qtok, qmask, *,
-                            metric: str, limit: int, t: int, b: int):
+                            metric: str, limit: int, t: int, b: int,
+                            uniform: bool = False):
     """Fused full-corpus MaxSim top-k: Pallas rank scan + group-cover
     candidate selection + HIGHEST-precision subset rerank of the winners.
 
@@ -484,6 +587,11 @@ def fused_maxsim_topk_batch(tokens, token_counts, valid, qtok, qmask, *,
     selection ranks with the storage dtype (bf16 blocks select with bf16
     dots — the flat bf16 posture); the returned scores are re-scored at
     HIGHEST from the gathered winners, so values match the XLA path.
+
+    ``uniform=True`` asserts every live doc stores exactly ``t`` real
+    tokens: the scan then runs the operand-free kernel (norms in-kernel, no
+    per-token-row mask arrays) — mandatory at 1M-doc scale, where the
+    masked variant's [NT, 1] operands pad 128x in HBM (15 GiB each).
     """
     from . import select as select_ops
     from .flat_scan import GROUP, extract_group_rows
@@ -496,33 +604,42 @@ def fused_maxsim_topk_batch(tokens, token_counts, valid, qtok, qmask, *,
     x2 = tokens.reshape(nt, d)
     row_tile = _mv_row_tile(t, d, b * qmax, tokens.dtype.itemsize, nt)
 
-    tf32 = x2.astype(jnp.float32)
-    token_live = (
-        jnp.arange(t, dtype=jnp.int32)[None, :] < token_counts[:, None]
-    ).reshape(nt)
-    tbias = jnp.where(token_live, 0.0, _PAD_SIM).astype(jnp.float32)
     if metric == "cosine":
-        tn = jnp.sqrt(jnp.sum(tf32 * tf32, axis=1))
-        tinv = jnp.where(tn > 0.0, 1.0 / jnp.maximum(tn, 1e-38), 0.0)
         qn = jnp.sqrt(jnp.sum(qtok.astype(jnp.float32) ** 2, axis=2))  # [B, Q]
         qinv = jnp.where(qn > 0.0, 1.0 / jnp.maximum(qn, 1e-38), 0.0)
         bound_ok = jnp.bool_(True)  # |cosine| <= 1 by construction
     else:
-        tinv = jnp.ones(nt, jnp.float32)
         qinv = jnp.ones((b, qmax), jnp.float32)
         # overflow posture (flat_scan._gmin_scan): prove every |dot| and
         # every total finite via norm products, else route to the oracle
-        tmax = jnp.max(jnp.sum(tf32 * tf32, axis=1))
+        # (tsq via the chunked reduce — an eager full-width f32 cast of the
+        # block would be 16.4 GB at 1M x 32 x 128)
+        tmax = jnp.max(_row_sq_sums(x2))
         qsqm = jnp.max(jnp.sum(qtok.astype(jnp.float32) ** 2, axis=2))
         bound_ok = (jnp.sqrt(tmax) * jnp.sqrt(qsqm) * qmax) < 3.0e37
     dzero = (token_counts <= 0).astype(jnp.float32)
     dbias = jnp.where(valid, 0.0, jnp.inf).astype(jnp.float32)
-
     qt = qtok.reshape(b * qmax, d).T.astype(x2.dtype)  # b-major columns
-    rank = fused_maxsim_rank_scan(
-        x2, tinv.reshape(-1, 1), tbias.reshape(-1, 1),
-        dzero.reshape(-1, 1), dbias.reshape(-1, 1), qt,
-        qinv.reshape(1, -1), t=t, b=b, metric=metric, row_tile=row_tile)
+
+    if uniform:
+        rank = fused_maxsim_rank_scan_uniform(
+            x2, dzero, dbias, qt, qinv.reshape(1, -1),
+            t=t, b=b, metric=metric, row_tile=row_tile)
+    else:
+        tsq = _row_sq_sums(x2)
+        token_live = (
+            jnp.arange(t, dtype=jnp.int32)[None, :] < token_counts[:, None]
+        ).reshape(nt)
+        tbias = jnp.where(token_live, 0.0, _PAD_SIM).astype(jnp.float32)
+        if metric == "cosine":
+            tn = jnp.sqrt(tsq)
+            tinv = jnp.where(tn > 0.0, 1.0 / jnp.maximum(tn, 1e-38), 0.0)
+        else:
+            tinv = jnp.ones(nt, jnp.float32)
+        rank = fused_maxsim_rank_scan(
+            x2, tinv.reshape(-1, 1), tbias.reshape(-1, 1),
+            dzero.reshape(-1, 1), dbias.reshape(-1, 1), qt,
+            qinv.reshape(1, -1), t=t, b=b, metric=metric, row_tile=row_tile)
 
     # group-cover selection (flat_scan discipline): C candidates for the
     # HIGHEST rerank, then the exact top-limit comes from re-scored values
