@@ -83,16 +83,18 @@ def main():
     valid = jnp.ones(N, bool)
     lex_d = jnp.asarray(lex)
 
-    # ---- (b) the shard-body program under plain jit, same device layout
+    # ---- (b) the shard-body program under plain jit, same device layout.
+    # The block rides as an ARGUMENT: a closed-over device array ships as a
+    # compile-request constant and blows the tunnel's size limit (HTTP 413)
     @jax.jit
-    def plain(q):
+    def plain(x, v, lx, q):
         def one(qrow):
-            r, l, s, rw = _local_topk(x_dev, valid, lex_d, qrow,
-                                      metric="cosine", k=K)
+            r, l, s, rw = _local_topk(x, v, lx, qrow, metric="cosine", k=K)
             return s, rw
         return jax.vmap(one)(q)
 
-    b_ms = timed(lambda i: plain(qslices[i % len(qslices)])[0])
+    b_ms = timed(lambda i: plain(x_dev, valid, lex_d,
+                                 qslices[i % len(qslices)])[0])
     phase(f"b) XLA formulation, plain jit: {b_ms:.2f} ms/batch")
 
     # ---- (c) the same program under shard_map on the 1-device mesh

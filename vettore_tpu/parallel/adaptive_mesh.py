@@ -34,6 +34,7 @@ from jax.sharding import PartitionSpec as P
 from ..ops import maxsim as maxsim_ops
 from ..ops import pipeline as pipe
 from ..ops.select import exact_top_c
+from .mesh import program_cache
 
 _BIG32 = 2**31 - 1
 
@@ -86,13 +87,8 @@ def _shard_count(mesh):
 # ---------------------------------------------------------------------------
 
 
-def sharded_funnel_topk(mesh, x, valid, queries, *, metric, stages, count, limit):
-    """Sharded Matryoshka funnel + exact rerank. Inputs sharded like
-    parallel/mesh.sharded_search; returns (slots [B, limit], raws, ranks,
-    ok [B]) with slot -1 pads. Equals pipe.funnel_pipeline_batch."""
-    n = x.shape[0]
-    n_loc = n // _shard_count(mesh)
-
+@program_cache
+def _funnel_topk_program(mesh, metric, stages, count, limit, n_loc, full_d):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("shard", None), P("shard"), P("data", None)),
@@ -107,12 +103,12 @@ def sharded_funnel_topk(mesh, x, valid, queries, *, metric, stages, count, limit
         ok = finite & sel_ok
         gslots = jnp.where(lslots >= 0, lslots + off, -1)
         g_rank, g_slots = _merge_topc(lkeys, gslots, count)
-        for dims in list(stages[1:]) + [x.shape[1]]:
+        for dims in list(stages[1:]) + [full_d]:
             lsl, mine = _localize(g_slots, jnp.isfinite(g_rank), off, n_loc)
             raw, rank_c, f = pipe._subset_raw_rank(x_loc, lsl, mine, q,
                                                    metric=metric, dims=dims)
             ok = ok & f
-            if dims == x.shape[1]:
+            if dims == full_d:
                 top, raws, ranks = _merge_topk_raw(
                     jnp.where(mine, rank_c, jnp.inf),
                     raw,
@@ -127,16 +123,20 @@ def sharded_funnel_topk(mesh, x, valid, queries, *, metric, stages, count, limit
             )
         raise AssertionError("unreachable")
 
-    return step(x, valid, queries)
+    return step
 
 
-def sharded_quantized_topk(mesh, x, signs, valid, queries, *, metric, count,
-                           limit, d):
-    """Sharded sign-bit Hamming candidates + exact rerank. Equals
-    pipe.quantized_pipeline_batch."""
-    n = x.shape[0]
-    n_loc = n // _shard_count(mesh)
+def sharded_funnel_topk(mesh, x, valid, queries, *, metric, stages, count, limit):
+    """Sharded Matryoshka funnel + exact rerank. Inputs sharded like
+    parallel/mesh.sharded_search; returns (slots [B, limit], raws, ranks,
+    ok [B]) with slot -1 pads. Equals pipe.funnel_pipeline_batch."""
+    n_loc = x.shape[0] // _shard_count(mesh)
+    return _funnel_topk_program(mesh, metric, tuple(stages), count, limit,
+                                n_loc, int(x.shape[1]))(x, valid, queries)
 
+
+@program_cache
+def _quantized_topk_program(mesh, metric, count, limit, d, n_loc, full_d):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P("shard"), P("data", None)),
@@ -155,24 +155,27 @@ def sharded_quantized_topk(mesh, x, signs, valid, queries, *, metric, count,
         g_rank, g_slots = _merge_topc(lkeys, gslots, count)
         lsl, mine = _localize(g_slots, jnp.isfinite(g_rank), off, n_loc)
         raw, rank_f, finite = pipe._subset_raw_rank(x_loc, lsl, mine, q,
-                                                    metric=metric, dims=x.shape[1])
+                                                    metric=metric, dims=full_d)
         top, raws, ranks = _merge_topk_raw(
             jnp.where(mine, rank_f, jnp.inf), raw,
             jnp.where(mine, g_slots, -1), limit,
         )
         return top, raws, ranks, _all_ok(sel_ok & finite)
 
-    return step(x, signs, valid, queries)
+    return step
 
 
-def sharded_funnel_candidates(mesh, x, valid, queries, *, metric, stages, count):
-    """Funnel candidate stage only (hybrid generator): returns global
-    (slots [B, C], slot_ok [B, C], ok [B]) replicated over shards, lex-sorted
-    by construction. Equals pipe.funnel_candidates_batch + _sort_candidates
-    (candidates come back (rank, slot)-sorted; the union re-sorts anyway)."""
-    n = x.shape[0]
-    n_loc = n // _shard_count(mesh)
+def sharded_quantized_topk(mesh, x, signs, valid, queries, *, metric, count,
+                           limit, d):
+    """Sharded sign-bit Hamming candidates + exact rerank. Equals
+    pipe.quantized_pipeline_batch."""
+    n_loc = x.shape[0] // _shard_count(mesh)
+    return _quantized_topk_program(mesh, metric, count, limit, d, n_loc,
+                                   int(x.shape[1]))(x, signs, valid, queries)
 
+
+@program_cache
+def _funnel_candidates_program(mesh, metric, stages, count, n_loc):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("shard", None), P("shard"), P("data", None)),
@@ -199,14 +202,21 @@ def sharded_funnel_candidates(mesh, x, valid, queries, *, metric, stages, count)
             )
         return g_slots, jnp.isfinite(g_rank), _all_ok(ok)
 
-    return step(x, valid, queries)
+    return step
 
 
-def sharded_quantized_candidates(mesh, signs, valid, queries, *, count, d):
-    """Hamming candidate stage only (hybrid generator)."""
-    n = signs.shape[0]
-    n_loc = n // _shard_count(mesh)
+def sharded_funnel_candidates(mesh, x, valid, queries, *, metric, stages, count):
+    """Funnel candidate stage only (hybrid generator): returns global
+    (slots [B, C], slot_ok [B, C], ok [B]) replicated over shards, lex-sorted
+    by construction. Equals pipe.funnel_candidates_batch + _sort_candidates
+    (candidates come back (rank, slot)-sorted; the union re-sorts anyway)."""
+    n_loc = x.shape[0] // _shard_count(mesh)
+    return _funnel_candidates_program(mesh, metric, tuple(stages), count,
+                                      n_loc)(x, valid, queries)
 
+
+@program_cache
+def _quantized_candidates_program(mesh, count, d, n_loc):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("shard", None), P("shard"), P("data", None)),
@@ -222,18 +232,18 @@ def sharded_quantized_candidates(mesh, signs, valid, queries, *, count, d):
         g_rank, g_slots = _merge_topc(lkeys, gslots, count)
         return g_slots, jnp.isfinite(g_rank), _all_ok(sel_ok)
 
-    return step(signs, valid, queries)
+    return step
 
 
-def sharded_maxsim_topk(mesh, tokens, counts, valid, qtok, qmask, *, metric,
-                        limit, chunk):
-    """Sharded full-corpus MaxSim: per-shard chunked streaming scan
-    (ops/maxsim.maxsim_full_topk_batch) + (score desc, slot asc) ICI merge.
-    Returns (slots [B, limit] (-1 pads), scores, ok [B])."""
-    n = tokens.shape[0]
-    n_loc = n // _shard_count(mesh)
-    chunk_loc = min(chunk, n_loc)
+def sharded_quantized_candidates(mesh, signs, valid, queries, *, count, d):
+    """Hamming candidate stage only (hybrid generator)."""
+    n_loc = signs.shape[0] // _shard_count(mesh)
+    return _quantized_candidates_program(mesh, count, d, n_loc)(
+        signs, valid, queries)
 
+
+@program_cache
+def _maxsim_topk_program(mesh, metric, limit, chunk_loc, n_loc):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("shard", None, None), P("shard"), P("shard"),
@@ -256,17 +266,21 @@ def sharded_maxsim_topk(mesh, tokens, counts, valid, qtok, qmask, *, metric,
         top = jnp.where(s2[:, :k] > -jnp.inf, g2[:, :k], -1)
         return top, s2[:, :k], _all_ok(ok)
 
-    return step(tokens, counts, valid, qtok, qmask)
+    return step
 
 
-def sharded_subset_maxsim(mesh, tokens, counts, cslots, cok, qtok, qmask, *,
-                          metric, limit):
-    """Sharded MaxSim rerank of a replicated global candidate set (the hybrid
-    rerank stage): each shard scores its members, merge by (score desc,
-    slot asc). Equals ops/maxsim.maxsim_subset_topk_batch."""
-    n = tokens.shape[0]
-    n_loc = n // _shard_count(mesh)
+def sharded_maxsim_topk(mesh, tokens, counts, valid, qtok, qmask, *, metric,
+                        limit, chunk):
+    """Sharded full-corpus MaxSim: per-shard chunked streaming scan
+    (ops/maxsim.maxsim_full_topk_batch) + (score desc, slot asc) ICI merge.
+    Returns (slots [B, limit] (-1 pads), scores, ok [B])."""
+    n_loc = tokens.shape[0] // _shard_count(mesh)
+    return _maxsim_topk_program(mesh, metric, limit, min(chunk, n_loc),
+                                n_loc)(tokens, counts, valid, qtok, qmask)
 
+
+@program_cache
+def _subset_maxsim_program(mesh, metric, limit, n_loc):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("shard", None, None), P("shard"), P("data", None),
@@ -289,15 +303,21 @@ def sharded_subset_maxsim(mesh, tokens, counts, cslots, cok, qtok, qmask, *,
         tops = jnp.where(s2[:, :k] > -jnp.inf, g2[:, :k], -1)
         return tops, s2[:, :k], _all_ok(ok)
 
-    return step(tokens, counts, cslots, cok, qtok, qmask)
+    return step
 
 
-def sharded_subset_rerank(mesh, x, cslots, cok, queries, *, metric, limit):
-    """Sharded exact full-dims rerank of a replicated candidate set (hybrid
-    exact rerank). Equals pipe.rerank_batch."""
-    n = x.shape[0]
-    n_loc = n // _shard_count(mesh)
+def sharded_subset_maxsim(mesh, tokens, counts, cslots, cok, qtok, qmask, *,
+                          metric, limit):
+    """Sharded MaxSim rerank of a replicated global candidate set (the hybrid
+    rerank stage): each shard scores its members, merge by (score desc,
+    slot asc). Equals ops/maxsim.maxsim_subset_topk_batch."""
+    n_loc = tokens.shape[0] // _shard_count(mesh)
+    return _subset_maxsim_program(mesh, metric, limit, n_loc)(
+        tokens, counts, cslots, cok, qtok, qmask)
 
+
+@program_cache
+def _subset_rerank_program(mesh, metric, limit, n_loc, full_d):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("shard", None), P("data", None), P("data", None),
@@ -309,11 +329,19 @@ def sharded_subset_rerank(mesh, x, cslots, cok, queries, *, metric, limit):
         off = jax.lax.axis_index("shard") * n_loc
         lsl, mine = _localize(cs, cok_, off, n_loc)
         raw, rank_f, finite = pipe._subset_raw_rank(x_loc, lsl, mine, q,
-                                                    metric=metric, dims=x.shape[1])
+                                                    metric=metric, dims=full_d)
         top, raws, ranks = _merge_topk_raw(
             jnp.where(mine, rank_f, jnp.inf), raw,
             jnp.where(mine, lsl + off, -1), limit,
         )
         return top, raws, ranks, _all_ok(finite)
 
-    return step(x, cslots, cok, queries)
+    return step
+
+
+def sharded_subset_rerank(mesh, x, cslots, cok, queries, *, metric, limit):
+    """Sharded exact full-dims rerank of a replicated candidate set (hybrid
+    exact rerank). Equals pipe.rerank_batch."""
+    n_loc = x.shape[0] // _shard_count(mesh)
+    return _subset_rerank_program(mesh, metric, limit, n_loc,
+                                  int(x.shape[1]))(x, cslots, cok, queries)

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..index import hnsw_build, hnsw_device
 from ..index.hnsw import validate_options
 from ..metrics import normalize_metric
+from .mesh import program_cache
 
 
 class ShardedHnsw:
@@ -482,6 +483,12 @@ _BIG_LEX = 2**30
 
 def _sharded_search(mesh, x, a0, upi, upa, lex, rows, entries, queries, *,
                     metric, lmax, ef, k):
+    return _hnsw_search_program(mesh, metric, lmax, ef, k)(
+        x, a0, upi, upa, lex, rows, entries, queries)
+
+
+@program_cache
+def _hnsw_search_program(mesh, metric, lmax, ef, k):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -529,4 +536,4 @@ def _sharded_search(mesh, x, a0, upi, upa, lex, rows, entries, queries, *,
         top_rows = jnp.where(jnp.isfinite(dm[:, :k]), rm[:, :k], -1)
         return top_rows, wm[:, :k]
 
-    return step(x, a0, upi, upa, lex, rows, entries, queries)
+    return step

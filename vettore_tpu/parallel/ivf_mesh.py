@@ -33,6 +33,7 @@ from ..index.ivf import IVF_METRICS, validate_options
 from ..metrics import normalize_metric
 from ..ops import ivf as ops_ivf
 from ..ops.flat_scan import GROUP
+from .mesh import program_cache
 
 _BIG32 = 2**31 - 1
 
@@ -210,6 +211,12 @@ def _bf16_np():
 
 def _sharded_ivf_search(mesh, x, xsq, bias, lex, rows, bcb, csq, bbias,
                         queries, *, metric, nprobe, k):
+    return _ivf_search_program(mesh, metric, nprobe, k)(
+        x, xsq, bias, lex, rows, bcb, csq, bbias, queries)
+
+
+@program_cache
+def _ivf_search_program(mesh, metric, nprobe, k):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -295,7 +302,7 @@ def _sharded_ivf_search(mesh, x, xsq, bias, lex, rows, bcb, csq, bbias,
         top_rows = jnp.where(jnp.isfinite(dm[:, :k]), rm[:, :k], -1)
         return top_rows, wm[:, :k]
 
-    return step(x, xsq, bias, lex, rows, bcb, csq, bbias, queries)
+    return step
 
 
 class MeshIvfIndex(Index):

@@ -50,17 +50,29 @@ def _local_topk(x_block, valid_block, lex_block, q, *, metric, k):
     return r[:k], l[:k], s[:k], rw[:k]
 
 
-def sharded_search(mesh: Mesh, x, valid, lex_rank, queries, *, metric: str, k: int):
-    """Sharded exact search over a row-sharded block.
+def program_cache(builder):
+    """Memoizes JITTED shard_map programs by their static key.
 
-    ``x`` [N, d], ``valid`` [N], ``lex_rank`` [N] (global id-order rank per
-    row) are sharded over ``shard``; ``queries`` [B, d] over ``data``.
-    Returns ``(slots [B, k] int32 global row indices, raws [B, k])``, invalid
-    positions marked with slot -1.
+    Building the shard_map inside the search wrapper re-traces AND re-lowers
+    the whole sharded program on EVERY batch — measured 14,030 ms vs 294 ms
+    per batch at 262k x 768 on the real chip (docs/mesh1_overhead.json).
+    ``builder(*key)`` returns the traced step fn; the cache holds one jitted
+    callable per (mesh, statics...) key, and jit's own cache handles shapes.
     """
-    n = x.shape[0]
-    shard_size = n // mesh.shape["shard"]
+    cache = {}
 
+    @functools.wraps(builder)
+    def get(*key):
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = jax.jit(builder(*key))
+        return fn
+
+    return get
+
+
+@program_cache
+def _search_program(mesh, metric, k, shard_size):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -89,7 +101,19 @@ def sharded_search(mesh: Mesh, x, valid, lex_rank, queries, *, metric: str, k: i
         top_s = jnp.where(jnp.isfinite(rm[:, :k]), sm[:, :k], -1)
         return top_s, rwm[:, :k]
 
-    return step(x, valid, lex_rank, queries)
+    return step
+
+
+def sharded_search(mesh: Mesh, x, valid, lex_rank, queries, *, metric: str, k: int):
+    """Sharded exact search over a row-sharded block.
+
+    ``x`` [N, d], ``valid`` [N], ``lex_rank`` [N] (global id-order rank per
+    row) are sharded over ``shard``; ``queries`` [B, d] over ``data``.
+    Returns ``(slots [B, k] int32 global row indices, raws [B, k])``, invalid
+    positions marked with slot -1.
+    """
+    shard_size = x.shape[0] // mesh.shape["shard"]
+    return _search_program(mesh, metric, k, shard_size)(x, valid, lex_rank, queries)
 
 
 class ShardedFlat:
