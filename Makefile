@@ -3,7 +3,9 @@
 # `make check` is the one red/green command.
 
 PY ?= python
-COV_MIN ?= 90
+# measured 92.05% full-suite; the residual is accounted line-by-line in
+# docs/COVERAGE_NOTES.md (hardware-only branches run under tpu_smoke.py)
+COV_MIN ?= 92
 
 .PHONY: check lint test test-fast cov smoke native clean
 
@@ -27,11 +29,13 @@ test-mesh:
 	$(PY) -m pytest tests/ -q -m slow
 
 # full suite + first-party line-coverage gate (tools/cov_plugin.py).
-# Sequential on purpose: under xdist a worker crash silently DROPS that
-# worker's covered lines from the merge (observed round 5 on the mesh-HNSW
-# suite), which fails the gate with corrupted numbers.
+# Sequential (no xdist: a worker crash silently DROPS its covered lines from
+# the merge) and split into TWO invocations: one ~90-minute process
+# accumulates state that segfaults XLA's CPU compiler on the late mesh-HNSW
+# builds; the second invocation merges both dumps and applies the gate.
 cov:
-	VETTORE_COV_MIN=$(COV_MIN) $(PY) -m pytest tests/ -q -p tools.cov_plugin
+	VETTORE_COV_MIN=0 $(PY) -m pytest tests/ -q -m "not slow" -p tools.cov_plugin
+	VETTORE_COV_APPEND=1 VETTORE_COV_MIN=$(COV_MIN) $(PY) -m pytest tests/ -q -m slow -p tools.cov_plugin
 
 # benchmark preflight: every search mode at toy scale, like the reference's
 # CI bench gate (ci.yml:67-76). Runs on whatever backend is present.

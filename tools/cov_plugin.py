@@ -76,7 +76,10 @@ def _executable_lines(path: Path) -> set[int]:
         code = stack.pop()
         skip_all = code.co_firstlineno in excluded  # pragma on the def line
         for _s, _e, line in code.co_lines():
-            if line is not None and not skip_all and line not in excluded:
+            # line 0 entries (module epilogue artifacts) can never be
+            # reported by the LINE monitor — excluding them keeps the
+            # universe honest
+            if line and not skip_all and line not in excluded:
                 lines.add(line)
         for const in code.co_consts:
             if isinstance(const, types.CodeType):
@@ -90,8 +93,13 @@ def _executable_lines(path: Path) -> set[int]:
 def pytest_configure(config):
     if getattr(config, "workerinput", None) is None:
         COV_DIR.mkdir(exist_ok=True)
-        for old in COV_DIR.glob("*.json"):
-            old.unlink()
+        # VETTORE_COV_APPEND: keep prior dumps so the gate can merge across
+        # SEPARATE pytest invocations (one ~90-minute process accumulates
+        # state that segfaults XLA's CPU compiler on the late mesh-HNSW
+        # builds; two shorter processes do not)
+        if not os.environ.get("VETTORE_COV_APPEND"):
+            for old in COV_DIR.glob("*.json"):
+                old.unlink()
     _start()
 
 
@@ -104,9 +112,13 @@ def pytest_sessionfinish(session, exitstatus):
         name = worker.get("workerid", f"pid{os.getpid()}")
         (COV_DIR / f"{name}.json").write_text(json.dumps(payload))
         return
-    (COV_DIR / "controller.json").write_text(json.dumps(payload))
+    # pid-unique so sequential append-mode invocations don't clobber each
+    # other's dumps; the merge below reads every dump present
+    (COV_DIR / f"controller-{os.getpid()}.json").write_text(json.dumps(payload))
     merged: dict[str, set[int]] = {}
     for shard in COV_DIR.glob("*.json"):
+        if shard.name == "summary.json":  # pass-1's report, not a hit dump
+            continue
         for f, ls in json.loads(shard.read_text()).items():
             merged.setdefault(f, set()).update(ls)
 
