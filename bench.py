@@ -395,8 +395,10 @@ def graph_cache_name(n, d):
 
 def hnsw_build_estimate(n):
     """Budget estimate for a cold kNN-block build (measured 1M x 768: ~20 s
-    with warm jit caches, ~240 s compiling every bucket from scratch)."""
-    return max(90.0, n / 1_000_000 * 260)
+    with warm jit caches, ~240 s compiling every bucket from scratch; toy
+    scales build in seconds plus at most a couple of small-bucket
+    compiles)."""
+    return max(30.0 if n <= 50_000 else 90.0, n / 1_000_000 * 260)
 
 
 def _record_cold_build(graph_path, seconds):
@@ -657,7 +659,10 @@ def main():
     graph_path = _cache_path(graph_cache_name(n, d))
     hnsw = None
     est_build = hnsw_build_estimate(n)
-    if prime or left() > est_build + 180:
+    # margin: the phases that must still fit after the build are themselves
+    # scale-dependent (toy-scale modes run in seconds)
+    build_margin = 60 if n <= 50_000 else 180
+    if prime or left() > est_build + build_margin:
         _phase(f"hnsw cold build (est {est_build:.0f}s)")
         t0 = time.perf_counter()
         hnsw = HnswIndex("cosine", {**HNSW_PARAMS, "ef_search": EF_SWEEP[0]})
@@ -735,7 +740,7 @@ def main():
     try:
         if os.path.exists(
             _cache_path(f"cpu_baseline_dev_{n}x{d}_s{SEED}.json")
-        ) or left() > 900:
+        ) or left() > (60 if n <= 50_000 else 900):  # toy baselines: seconds
             baseline_qps = cpu_single_core_qps_cached(data, queries, n, d)
             detail["cpu_single_core_exact_qps"] = round(baseline_qps, 2)
             STATE["vs_baseline"] = round(STATE["value"] / baseline_qps, 2)
