@@ -386,11 +386,10 @@ def pick_scale(args):
 
 
 def graph_cache_name(n, d):
-    # v3: bulk construction moved to the kNN-block build (hnsw_knn_build) —
-    # different graph content than v2's wave-built graphs. (v2: the corpus
-    # moved to on-device generation, retiring v1 host-RNG-era graphs.)
+    # v4: kNN-block build at PROBES=24 (richer candidate pools than v3's
+    # 16-probe graphs; v2 were wave-built, v1 host-RNG-era corpora).
     p = HNSW_PARAMS
-    return f"hnsw_{n}x{d}_m{p['m']}m0{p['m0']}efc{p['ef_construction']}_s{SEED}_v3.npz"
+    return f"hnsw_{n}x{d}_m{p['m']}m0{p['m0']}efc{p['ef_construction']}_s{SEED}_v4.npz"
 
 
 def hnsw_build_estimate(n):

@@ -58,8 +58,11 @@ from .hnsw_build import (
 )
 
 GROUP = 64
-#: neighbor blocks scored per block (x64 rows = the candidate pool per row)
-PROBES = int(os.environ.get("VETTORE_KNN_PROBES", "16"))
+#: neighbor blocks scored per block (x64 rows = the candidate pool per row).
+#: 1M x 768 measured: 16 -> recall@10 0.971 @ ef=16, 19.9 s warm build;
+#: 24 -> 0.981 @ ef=16, 22.1 s — the extra 11% build cost buys the cheapest
+#: ef tier at query time
+PROBES = int(os.environ.get("VETTORE_KNN_PROBES", "24"))
 #: k-means refinement sweeps over the layer prefix
 KMEANS_ITERS = int(os.environ.get("VETTORE_KNN_ITERS", "4"))
 #: blocks processed per device dispatch in the scoring loop
